@@ -1,0 +1,17 @@
+"""pytorch_geometric_temporal_tpu — a TPU-native spatiotemporal GNN framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+PyTorch Geometric Temporal (benedekrozemberczki/pytorch_geometric_temporal):
+temporal graph signal pipelines, recurrent & attention spatiotemporal GNNs,
+dataset loaders, and multi-chip training via ``jax.sharding``.
+
+Typical usage::
+
+    import pytorch_geometric_temporal_tpu as pgtt
+"""
+
+__version__ = "0.1.0"
+
+from . import ops  # noqa: F401
+from .config import config_override, get_config  # noqa: F401
+from .ops import Graph  # noqa: F401

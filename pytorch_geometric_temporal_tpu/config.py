@@ -1,0 +1,55 @@
+"""Global configuration for backend selection.
+
+TPU-first design note: on TPU the MXU (128x128 systolic array) makes a dense
+``A @ X`` the fastest aggregation path for small/medium graphs (the entire
+adjacency fits in VMEM and the op is a single fused matmul), while scatter/
+segment ops run on the much slower VPU + relayouts.  We therefore pick the
+aggregation backend per-graph:
+
+- ``dense``   : materialize the (N, N) adjacency once per jit trace and use
+                matmuls.  Default for ``num_nodes <= dense_threshold``.
+- ``segment`` : gather + ``segment_sum``.  Portable reference path; used for
+                large graphs and on CPU.
+- ``pallas``  : blocked ELL SpMM Pallas kernel for large graphs on TPU.
+
+The reference framework (PyTorch Geometric Temporal) always uses scatter-based
+message passing (torch_geometric MessagePassing.propagate); this module is the
+TPU-native replacement for that choice.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+
+
+@dataclasses.dataclass
+class Config:
+    # Graphs with at most this many nodes use the dense MXU path by default.
+    dense_threshold: int = 4096
+    # 'auto' | 'dense' | 'segment' | 'pallas'
+    spmm_backend: str = "auto"
+    # matmul accumulation dtype
+    use_bfloat16_matmul: bool = False
+
+
+_config = Config()
+
+
+def get_config() -> Config:
+    return _config
+
+
+@contextlib.contextmanager
+def config_override(**kwargs):
+    """Temporarily override config fields (e.g. spmm_backend='segment')."""
+    global _config
+    old = dataclasses.replace(_config)
+    for k, v in kwargs.items():
+        if not hasattr(_config, k):
+            raise ValueError(f"unknown config field {k!r}")
+        setattr(_config, k, v)
+    try:
+        yield _config
+    finally:
+        _config = old

@@ -1,0 +1,26 @@
+from .graph import (
+    Graph,
+    cheb_norm,
+    diffusion_norms,
+    gcn_norm,
+    lambda_max,
+    laplacian,
+    pad_graphs,
+    stack_graphs,
+)
+from .spmm import sddmm, spmm, spmm_dense, spmm_segment
+
+__all__ = [
+    "Graph",
+    "cheb_norm",
+    "diffusion_norms",
+    "gcn_norm",
+    "lambda_max",
+    "laplacian",
+    "pad_graphs",
+    "stack_graphs",
+    "sddmm",
+    "spmm",
+    "spmm_dense",
+    "spmm_segment",
+]

@@ -1,0 +1,35 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Mirrors the reference's CPU-only CI strategy
+(/root/reference/.github/workflows/main.yml:30-38) while additionally giving
+us an 8-device virtual mesh so multi-chip sharding (data parallel, node
+partitioning with halo exchange) is exercised on every test run.
+
+Note: this environment may auto-register a remote TPU platform ("axon") via
+sitecustomize at interpreter start; jax may therefore already be imported
+when this file runs.  Backend *initialization* is lazy, so updating
+jax.config and the env here (before any jax op executes) still pins tests to
+the 8-device virtual CPU mesh.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
