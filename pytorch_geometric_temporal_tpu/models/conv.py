@@ -1,0 +1,271 @@
+"""Graph convolution primitives (flax.linen modules over the spmm core).
+
+TPU-native re-designs of the torch_geometric convolution layers the reference
+models depend on (SURVEY §2.6): ChebConv, GCNConv, RGCNConv, SAGEConv,
+GatedGraphConv, TopK pooling, and AGCRN's embedding-parameterized AVWGCN.
+
+Design choices vs the reference dependency stack:
+
+- Every conv reduces to :func:`~..ops.spmm` so the backend (dense MXU /
+  segment / pallas) is chosen per graph size, not per layer.
+- Chebyshev and diffusion bases are *stacked on the feature axis* and hit the
+  MXU with a single ``(N, K·C_in) @ (K·C_in, C_out)`` matmul instead of K
+  separate small linears — mathematically identical, far better MXU
+  utilization.
+- All modules accept arbitrary leading batch dims ``(..., N, F)``; the
+  reference needs separate "2"-suffixed batched classes (TGCN2, A3TGCN2) for
+  that.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.graph import Graph, cheb_norm, gcn_norm
+from ..ops.spmm import spmm
+
+glorot = nn.initializers.glorot_uniform()
+zeros = nn.initializers.zeros
+
+
+def cheb_basis(graph: Graph, x: jnp.ndarray, K: int,
+               normalization: str = "sym", lambda_max=None) -> jnp.ndarray:
+    """Stacked Chebyshev basis  [T_0(L̂)x … T_{K-1}(L̂)x]  on the feature axis.
+
+    T_0 = x, T_1 = L̂x, T_k = 2 L̂ T_{k-1} − T_{k-2} with
+    L̂ = 2L/λ_max − I (PyG ``ChebConv.__norm__`` semantics; reference call
+    sites: ``nn/recurrent/gconv_gru.py:55-112``).
+    Returns (..., N, K·F).
+    """
+    lhat = cheb_norm(graph, normalization, lambda_max)
+    tx = [x]
+    if K > 1:
+        tx.append(spmm(lhat, x))
+    for _ in range(2, K):
+        tx.append(2.0 * spmm(lhat, tx[-1]) - tx[-2])
+    return jnp.concatenate(tx, axis=-1)
+
+
+class ChebConv(nn.Module):
+    """Chebyshev spectral graph convolution (replaces PyG ``ChebConv``)."""
+
+    out_channels: int
+    K: int
+    normalization: str = "sym"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, lambda_max=None):
+        z = cheb_basis(graph, x, self.K, self.normalization, lambda_max)
+        w = self.param("weight", glorot, (z.shape[-1], self.out_channels))
+        out = jnp.matmul(z, w, preferred_element_type=x.dtype)
+        if self.use_bias:
+            out = out + self.param("bias", zeros, (self.out_channels,))
+        return out
+
+
+class GCNConv(nn.Module):
+    """Kipf-Welling GCN convolution (replaces PyG ``GCNConv`` +``gcn_norm``).
+
+    ``normalize=False`` skips in-trace normalization when the caller provides
+    an already-normalized graph (cache pattern; the reference relies on PyG's
+    ``cached=True``).
+    """
+
+    out_channels: int
+    improved: bool = False
+    add_self_loops: bool = True
+    normalize: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph):
+        g = gcn_norm(graph, self.improved, self.add_self_loops) if self.normalize else graph
+        w = self.param("weight", glorot, (x.shape[-1], self.out_channels))
+        out = spmm(g, jnp.matmul(x, w, preferred_element_type=x.dtype))
+        if self.use_bias:
+            out = out + self.param("bias", zeros, (self.out_channels,))
+        return out
+
+
+def gcn_conv_fixed_w(x, graph: Graph, weight, *, improved: bool = False,
+                     add_self_loops: bool = True, normalize: bool = True):
+    """GCN conv whose weight is supplied per call.
+
+    Functional counterpart of the reference's ``GCNConv_Fixed_W``
+    (``nn/recurrent/evolvegcno.py:13-101``) used by EvolveGCN, where a GRU
+    evolves the conv weight itself.
+    """
+    g = gcn_norm(graph, improved, add_self_loops) if normalize else graph
+    return spmm(g, jnp.matmul(x, weight, preferred_element_type=x.dtype))
+
+
+class RGCNConv(nn.Module):
+    """Relational GCN with basis decomposition (replaces PyG ``RGCNConv``).
+
+    Mean aggregation per relation + root transform, matching PyG defaults as
+    used by LRGCN (reference ``nn/recurrent/lrgcn.py:30-92``).  Relations are
+    passed as a sequence of :class:`Graph` (one per relation), the TPU-native
+    stand-in for the (edge_index, edge_type) pair: per-relation edge lists
+    are padded/static, so a jitted step never recompiles.
+    """
+
+    out_channels: int
+    num_relations: int
+    num_bases: Optional[int] = None
+    root_weight: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, rel_graphs: Sequence[Graph]):
+        if len(rel_graphs) != self.num_relations:
+            raise ValueError(
+                f"expected {self.num_relations} relation graphs, got {len(rel_graphs)}"
+            )
+        in_ch = x.shape[-1]
+        if self.num_bases is not None:
+            basis = self.param(
+                "basis", glorot, (self.num_bases, in_ch, self.out_channels)
+            )
+            coef = self.param("coef", glorot, (self.num_relations, self.num_bases))
+            w = jnp.einsum("rb,bio->rio", coef, basis)
+        else:
+            w = self.param(
+                "weight", glorot, (self.num_relations, in_ch, self.out_channels)
+            )
+        out = 0.0
+        for r, g in enumerate(rel_graphs):
+            # mean aggregation: divide by in-degree of target (count of
+            # incoming relation-r edges), PyG RGCNConv aggr='mean'
+            deg = g.in_degree(weighted=False)
+            inv = jnp.where(deg > 0, 1.0 / jnp.where(deg > 0, deg, 1.0), 0.0)
+            agg = spmm(g, x, weights=g.edge_mask()) * inv[:, None]
+            out = out + jnp.matmul(agg, w[r], preferred_element_type=x.dtype)
+        if self.root_weight:
+            root = self.param("root", glorot, (in_ch, self.out_channels))
+            out = out + jnp.matmul(x, root, preferred_element_type=x.dtype)
+        if self.use_bias:
+            out = out + self.param("bias", zeros, (self.out_channels,))
+        return out
+
+
+class SAGEConv(nn.Module):
+    """GraphSAGE with mean aggregation (replaces PyG ``SAGEConv``)."""
+
+    out_channels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, x_dst=None):
+        """x: source features (..., N_src, F). For bipartite (hetero) edges
+        pass the destination-side features separately as ``x_dst``."""
+        if x_dst is None:
+            x_dst = x
+        deg = graph.in_degree(weighted=False)
+        inv = jnp.where(deg > 0, 1.0 / jnp.where(deg > 0, deg, 1.0), 0.0)
+        agg = spmm(graph, x, weights=graph.edge_mask()) * inv[:, None]
+        out = nn.Dense(self.out_channels, use_bias=self.use_bias, name="lin_l")(agg)
+        out = out + nn.Dense(self.out_channels, use_bias=False, name="lin_r")(x_dst)
+        return out
+
+
+class GatedGraphConv(nn.Module):
+    """Gated graph convolution (replaces PyG ``GatedGraphConv``).
+
+    Used by DyGrEncoder (reference ``nn/recurrent/dygrae.py:37-49``).
+    ``aggr`` ∈ {'add', 'mean', 'max'} per the reference's assert (`:29`).
+    """
+
+    out_channels: int
+    num_layers: int
+    aggr: str = "add"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, edge_weight_scale: bool = True):
+        n_in = x.shape[-1]
+        if n_in > self.out_channels:
+            raise ValueError("input channels must be <= out_channels")
+        if n_in < self.out_channels:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, self.out_channels - n_in)]
+            h = jnp.pad(x, pad)
+        else:
+            h = x
+        w = self.param(
+            "weight", glorot, (self.num_layers, self.out_channels, self.out_channels)
+        )
+        gru = nn.GRUCell(features=self.out_channels, name="gru")
+        for layer in range(self.num_layers):
+            m = jnp.matmul(h, w[layer], preferred_element_type=x.dtype)
+            if self.aggr == "add":
+                m = spmm(graph, m)
+            elif self.aggr == "mean":
+                deg = graph.in_degree(weighted=True)
+                inv = jnp.where(deg > 0, 1.0 / jnp.where(deg > 0, deg, 1.0), 0.0)
+                m = spmm(graph, m) * inv[:, None]
+            elif self.aggr == "max":
+                msgs = jnp.take(m, graph.senders, axis=-2) * graph.masked_weights()[:, None]
+                m = jax.ops.segment_max(
+                    msgs, graph.receivers, num_segments=graph.num_nodes
+                )
+                m = jnp.where(jnp.isfinite(m), m, 0.0)
+            else:
+                raise ValueError(f"unknown aggr {self.aggr!r}")
+            h, _ = gru(h, m)  # flax GRUCell: (carry, inputs) -> (new, out)
+        return h
+
+
+def topk_pool(x, score_weight, ratio):
+    """Top-k node selection used by EvolveGCN-H's summarizer.
+
+    Scores ``s = x·p / ||p||``, selects ``k = ceil(ratio·N)`` nodes, returns
+    ``x[perm] * tanh(s[perm])`` (PyG ``TopKPooling`` on a single graph,
+    reference ``nn/recurrent/evolvegcnh.py:61-76``).  Static output shape —
+    jit-safe via ``lax.top_k``.
+    """
+    n = x.shape[-2]
+    k = max(1, int(-(-n * ratio // 1)))  # ceil
+    s = x @ score_weight / (jnp.linalg.norm(score_weight) + 1e-16)
+    vals, idx = jax.lax.top_k(s, k)
+    return jnp.take(x, idx, axis=-2) * jnp.tanh(vals)[..., :, None], idx
+
+
+class AVWGCN(nn.Module):
+    """Adaptive vertex-wise GCN from AGCRN (reference ``nn/recurrent/agcrn.py:7-53``).
+
+    Graph-free: support  = softmax(relu(E Eᵀ)); Chebyshev-style stack of
+    [I, support, 2·support·prev − prev2 ...]; per-node weights pooled from the
+    node embedding matrix E via einsum.
+    """
+
+    out_channels: int
+    K: int
+    embedding_dimensions: int
+
+    @nn.compact
+    def __call__(self, x, e):
+        # e: (N, D) node embeddings
+        n = e.shape[0]
+        supports = jax.nn.softmax(nn.relu(e @ e.T), axis=1)
+        support_set = [jnp.eye(n, dtype=x.dtype), supports]
+        for _ in range(2, self.K):
+            support_set.append(
+                jnp.matmul(2.0 * supports, support_set[-1]) - support_set[-2]
+            )
+        supports = jnp.stack(support_set, axis=0)  # (K, N, N)
+        w_pool = self.param(
+            "weights_pool",
+            glorot,
+            (self.embedding_dimensions, self.K, x.shape[-1], self.out_channels),
+        )
+        b_pool = self.param(
+            "bias_pool", glorot, (self.embedding_dimensions, self.out_channels)
+        )
+        weights = jnp.einsum("nd,dkio->nkio", e, w_pool)  # (N, K, in, out)
+        bias = e @ b_pool  # (N, out)
+        x_g = jnp.einsum("knm,...mi->...nki", supports, x)  # (..., N, K, in)
+        return jnp.einsum("...nki,nkio->...no", x_g, weights) + bias

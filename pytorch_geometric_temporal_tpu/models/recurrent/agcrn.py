@@ -1,0 +1,36 @@
+"""AGCRN: adaptive graph convolutional recurrent network (graph-free).
+
+Capability parity with reference ``nn/recurrent/agcrn.py:56-123`` (Bai et
+al., arXiv 2007.02842).  No edge list at all — the support is learned from
+node embeddings E inside :class:`~..conv.AVWGCN`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..conv import AVWGCN
+
+
+class AGCRN(nn.Module):
+    """forward: (X (B, N, F), E (N, D), H=None) -> H (B, N, C)."""
+
+    number_of_nodes: int
+    out_channels: int
+    K: int
+    embedding_dimensions: int
+
+    @nn.compact
+    def __call__(self, x, e, h: Optional[jnp.ndarray] = None):
+        C = self.out_channels
+        if h is None:
+            h = jnp.zeros(x.shape[:-1] + (C,), x.dtype)
+        gate = AVWGCN(2 * C, self.K, self.embedding_dimensions, name="gate")
+        update = AVWGCN(C, self.K, self.embedding_dimensions, name="update")
+        xh = jnp.concatenate([x, h], axis=-1)
+        z, r = jnp.split(nn.sigmoid(gate(xh, e)), 2, axis=-1)
+        hc = nn.tanh(update(jnp.concatenate([x, z * h], axis=-1), e))
+        return r * h + (1.0 - r) * hc

@@ -1,0 +1,137 @@
+"""Diffusion-Convolutional RNN (DCRNN) — single-step cell and seq2seq model.
+
+Capability parity with reference ``nn/recurrent/dcrnn.py`` (Li et al., arXiv
+1707.01926): ``DConv``/``DCRNN`` (`:7-219`) and the batched seq-to-seq
+``BatchedDConv``/``BatchedDCRNN`` (`:222-475`).
+
+TPU-first redesign:
+
+- The bidirectional diffusion bases (forward random-walk P_f = D_O^{-1}W and
+  backward P_b = D_I^{-1}Wᵀ) come from :func:`~...ops.graph.diffusion_norms`
+  — sparse, precomputed once per jit trace; no dense adjacency is ever built
+  (the reference densifies at ``dcrnn.py:59-77``).
+- K-hop Chebyshev-style recurrences are stacked on the feature axis so all
+  three GRU gates are two fused MXU matmuls (gates z,r together; candidate
+  separately).
+- Batching is plain leading-dim vectorization — no block-diagonal edge
+  replication (the reference's GPU workaround at ``dcrnn.py:363-369``), and
+  the time dimension runs under ``lax.scan`` (no Python loop,
+  ``dcrnn.py:463-473``).
+
+Deviation (documented): the reference's messages ignore edge weights and its
+reverse pass applies norms misaligned with the re-sorted reverse edge list
+(``dcrnn.py:73-77,288-290``); we implement the paper's weighted operators.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.graph import Graph, diffusion_norms
+from ...ops.spmm import spmm
+from ..conv import glorot, zeros
+
+
+def diffusion_basis(graph: Graph, x: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Stacked bidirectional diffusion basis, shape (..., N, 2·K·F).
+
+    Layout: [T_0^f ... T_{K-1}^f | T_0^b ... T_{K-1}^b] with T_0 = X,
+    T_1 = P X, T_k = 2 P T_{k-1} − T_{k-2} (mirrors the reference recurrence
+    at ``dcrnn.py:79-106`` including T_0 appearing in both directions).
+    """
+    p_fwd, p_bwd = diffusion_norms(graph)
+    out = []
+    for p in (p_fwd, p_bwd):
+        tx = [x]
+        if K > 1:
+            tx.append(spmm(p, x))
+        for _ in range(2, K):
+            tx.append(2.0 * spmm(p, tx[-1]) - tx[-2])
+        out.extend(tx)
+    return jnp.concatenate(out, axis=-1)
+
+
+class DConv(nn.Module):
+    """Diffusion convolution layer (replaces reference ``DConv``)."""
+
+    out_channels: int
+    K: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph):
+        z = diffusion_basis(graph, x, self.K)
+        w = self.param("weight", glorot, (z.shape[-1], self.out_channels))
+        out = jnp.matmul(z, w, preferred_element_type=x.dtype)
+        if self.use_bias:
+            out = out + self.param("bias", zeros, (self.out_channels,))
+        return out
+
+
+class DCRNN(nn.Module):
+    """Single-step diffusion-convolutional GRU cell.
+
+    forward: (X (..., N, F), graph, H=None) -> H (..., N, C).
+    Matches reference gating (``dcrnn.py:172-219``): all three gates are
+    DConv over concat([X, H]) / concat([X, H·R]).
+    """
+
+    out_channels: int
+    K: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, h: Optional[jnp.ndarray] = None):
+        C = self.out_channels
+        if h is None:
+            h = jnp.zeros(x.shape[:-1] + (C,), x.dtype)
+        xh = jnp.concatenate([x, h], axis=-1)
+        b_xh = diffusion_basis(graph, xh, self.K)
+        # fused z+r: one matmul producing 2C channels
+        w_zr = self.param("w_zr", glorot, (b_xh.shape[-1], 2 * C))
+        zr = jnp.matmul(b_xh, w_zr, preferred_element_type=x.dtype)
+        if self.use_bias:
+            zr = zr + self.param("b_zr", zeros, (2 * C,))
+        z, r = jnp.split(nn.sigmoid(zr), 2, axis=-1)
+        xhr = jnp.concatenate([x, h * r], axis=-1)
+        b_xhr = diffusion_basis(graph, xhr, self.K)
+        w_h = self.param("w_h", glorot, (b_xhr.shape[-1], C))
+        ht = jnp.matmul(b_xhr, w_h, preferred_element_type=x.dtype)
+        if self.use_bias:
+            ht = ht + self.param("b_h", zeros, (C,))
+        h_tilde = nn.tanh(ht)
+        return z * h + (1.0 - z) * h_tilde
+
+
+class DCRNNSeq(nn.Module):
+    """Sequence-to-sequence DCRNN over (B, T, N, F) inputs.
+
+    Replaces reference ``BatchedDCRNN`` (``dcrnn.py:328-475``): returns all
+    hidden states (B, T, N, C).  Time runs under ``lax.scan`` with the cell
+    parameters broadcast (shared) across steps; the graph is closed over, so
+    diffusion norms are hoisted out of the scan by XLA.
+    """
+
+    out_channels: int
+    K: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, h0: Optional[jnp.ndarray] = None):
+        B, T, N, F = x.shape
+        if h0 is None:
+            h0 = jnp.zeros((B, N, self.out_channels), x.dtype)
+        cell = DCRNN(self.out_channels, self.K, self.use_bias, name="cell")
+        scan = nn.scan(
+            lambda c, carry, xt: (c(xt, graph, carry),) * 2,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        _, hs = scan(cell, h0, x)
+        return hs

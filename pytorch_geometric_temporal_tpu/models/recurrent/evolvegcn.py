@@ -1,0 +1,92 @@
+"""EvolveGCN-O and EvolveGCN-H: GCNs whose weights evolve through a GRU.
+
+Capability parity with reference ``nn/recurrent/evolvegcno.py:13-191`` and
+``nn/recurrent/evolvegcnh.py:8-102`` (Pareja et al., arXiv 1902.10191).
+
+The reference keeps the evolved weight as *mutable module state* persisting
+across forward calls (``evolvegcno.py:186-189``) with a
+``reinitialize_weight()`` reset.  In this functional framework the weight is
+explicit carried state: pass ``weight=None`` for the first step (the learned
+initial weight is used) and thread the returned weight through subsequent
+steps — jit/scan-safe with no hidden mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops.graph import Graph
+from ..conv import gcn_conv_fixed_w, glorot, topk_pool
+
+
+class _WeightGRU(nn.Module):
+    """GRU over the rows of the (C, C) weight matrix (rows = GRU batch)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, carry, inputs):
+        cell = nn.GRUCell(features=self.features, name="cell")
+        new, _ = cell(carry, inputs)
+        return new
+
+
+class EvolveGCNO(nn.Module):
+    """forward: (X, graph, weight=None) -> (X', weight).
+
+    The GRU input and hidden state are both the previous weight
+    (``evolvegcno.py:186-189``).
+    """
+
+    in_channels: int
+    improved: bool = False
+    normalize: bool = True
+    add_self_loops: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph,
+                 weight: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        C = self.in_channels
+        w0 = self.param("initial_weight", glorot, (C, C))
+        prev = w0 if weight is None else weight
+        new_w = _WeightGRU(C, name="recurrent")(prev, prev)
+        out = gcn_conv_fixed_w(
+            x, graph, new_w, improved=self.improved,
+            add_self_loops=self.add_self_loops, normalize=self.normalize,
+        )
+        return out, new_w
+
+
+class EvolveGCNH(nn.Module):
+    """forward: (X, graph, weight=None) -> (X', weight).
+
+    Top-k pooling summarizes X into exactly ``in_channels`` rows
+    (ratio = C/N, ``evolvegcnh.py:61-63``) which drive the weight GRU.
+    """
+
+    num_of_nodes: int
+    in_channels: int
+    improved: bool = False
+    normalize: bool = True
+    add_self_loops: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph,
+                 weight: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        C = self.in_channels
+        w0 = self.param("initial_weight", glorot, (C, C))
+        p = self.param("pool_score", glorot, (x.shape[-1], 1))[:, 0]
+        ratio = C / self.num_of_nodes
+        x_tilde, _ = topk_pool(x, p, ratio)
+        prev = w0 if weight is None else weight
+        new_w = _WeightGRU(C, name="recurrent")(prev, x_tilde)
+        out = gcn_conv_fixed_w(
+            x, graph, new_w, improved=self.improved,
+            add_self_loops=self.add_self_loops, normalize=self.normalize,
+        )
+        return out, new_w

@@ -41,7 +41,7 @@ def _round_up(x: int, m: int) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["senders", "receivers", "weights"],
-    meta_fields=["num_nodes", "num_edges"],
+    meta_fields=["num_nodes", "num_edges", "num_src"],
 )
 @dataclasses.dataclass(frozen=True)
 class Graph:
@@ -51,8 +51,10 @@ class Graph:
         senders:   (E_pad,) int32 — source node of each edge.  Padded entries 0.
         receivers: (E_pad,) int32 — target node of each edge.  Padded entries 0.
         weights:   (E_pad,) float — edge weights.  Padded entries 0.0.
-        num_nodes: static int — number of nodes N.
+        num_nodes: static int — number of (receiver-side) nodes N.
         num_edges: static int — number of *real* edges (<= E_pad).
+        num_src:   static int or None — sender-side node count for bipartite
+                   (hetero) edges; None means square (num_nodes).
     """
 
     senders: jnp.ndarray
@@ -60,6 +62,11 @@ class Graph:
     weights: jnp.ndarray
     num_nodes: int
     num_edges: int
+    num_src: Optional[int] = None
+
+    @property
+    def src_count(self) -> int:
+        return self.num_nodes if self.num_src is None else self.num_src
 
     # -- construction ------------------------------------------------------
 
@@ -70,8 +77,13 @@ class Graph:
         num_nodes: Optional[int] = None,
         pad_to: Optional[int] = None,
         dtype=jnp.float32,
+        num_src: Optional[int] = None,
     ) -> "Graph":
-        """Build from a PyG-style (2, E) edge index (host-side)."""
+        """Build from a PyG-style (2, E) edge index (host-side).
+
+        ``num_src`` gives the sender-side node count for bipartite (hetero)
+        edges; leave None for ordinary square graphs.
+        """
         edge_index = np.asarray(edge_index)
         if edge_index.ndim != 2 or edge_index.shape[0] != 2:
             raise ValueError(f"edge_index must be (2, E), got {edge_index.shape}")
@@ -97,6 +109,7 @@ class Graph:
             weights=jnp.asarray(weights, dtype=dtype),
             num_nodes=int(num_nodes),
             num_edges=int(E),
+            num_src=None if num_src is None else int(num_src),
         )
 
     # -- basic properties --------------------------------------------------
@@ -122,7 +135,11 @@ class Graph:
     def reverse(self) -> "Graph":
         """Transposed graph (edges flipped). Weights carried along."""
         return dataclasses.replace(
-            self, senders=self.receivers, receivers=self.senders
+            self,
+            senders=self.receivers,
+            receivers=self.senders,
+            num_nodes=self.src_count,
+            num_src=None if self.num_src is None else self.num_nodes,
         )
 
     def add_self_loops(self, fill_value: float = 1.0) -> "Graph":
@@ -150,7 +167,7 @@ class Graph:
 
     def out_degree(self, weighted: bool = True) -> jnp.ndarray:
         w = self.masked_weights() if weighted else self.edge_mask()
-        return jax.ops.segment_sum(w, self.senders, self.num_nodes)
+        return jax.ops.segment_sum(w, self.senders, self.src_count)
 
     def in_degree(self, weighted: bool = True) -> jnp.ndarray:
         w = self.masked_weights() if weighted else self.edge_mask()
@@ -165,8 +182,7 @@ class Graph:
         once per jit trace and every aggregation is a single MXU matmul.
         """
         dtype = dtype or self.weights.dtype
-        n = self.num_nodes
-        m = jnp.zeros((n, n), dtype=dtype)
+        m = jnp.zeros((self.num_nodes, self.src_count), dtype=dtype)
         return m.at[self.receivers, self.senders].add(
             self.masked_weights().astype(dtype)
         )
