@@ -12,6 +12,6 @@ Typical usage::
 
 __version__ = "0.1.0"
 
-from . import ops  # noqa: F401
+from . import data, models, ops, parallel, signal, train  # noqa: F401
 from .config import config_override, get_config  # noqa: F401
 from .ops import Graph  # noqa: F401

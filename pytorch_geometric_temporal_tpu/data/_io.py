@@ -1,0 +1,85 @@
+"""Dataset file resolution and download.
+
+The reference loaders download from the web on every construction
+(``dataset/chickenpox.py:32-38``).  Here files resolve through a search path
+first (env ``PGT_TPU_DATA``, ``~/.cache/pgt_tpu``, and — when present — the
+reference checkout's bundled ``dataset/`` directory), and only then fall
+back to URL download into the cache.  Zero-egress environments therefore
+work with pre-staged files.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import ssl
+import urllib.request
+import zipfile
+from pathlib import Path
+from typing import List, Optional
+
+_BUNDLED = Path("/root/reference/dataset")
+
+
+def data_search_paths() -> List[Path]:
+    paths = []
+    env = os.environ.get("PGT_TPU_DATA")
+    if env:
+        paths.append(Path(env))
+    paths.append(Path.home() / ".cache" / "pgt_tpu")
+    if _BUNDLED.is_dir():
+        paths.append(_BUNDLED)
+    return paths
+
+
+def cache_dir() -> Path:
+    env = os.environ.get("PGT_TPU_DATA")
+    p = Path(env) if env else Path.home() / ".cache" / "pgt_tpu"
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def find_file(filename: str) -> Optional[Path]:
+    for base in data_search_paths():
+        p = base / filename
+        if p.is_file():
+            return p
+    return None
+
+
+def fetch_bytes(filename: str, url: str) -> bytes:
+    """Resolve a dataset file locally or download it into the cache."""
+    p = find_file(filename)
+    if p is not None:
+        return p.read_bytes()
+    try:
+        context = ssl._create_unverified_context()
+        data = urllib.request.urlopen(url, context=context).read()
+    except Exception as exc:  # pragma: no cover - zero-egress environments
+        raise RuntimeError(
+            f"dataset file {filename!r} not found in {data_search_paths()} "
+            f"and download from {url} failed ({exc}). Stage the file into "
+            f"$PGT_TPU_DATA or ~/.cache/pgt_tpu."
+        ) from exc
+    out = cache_dir() / filename
+    out.write_bytes(data)
+    return data
+
+
+def fetch_json(filename: str, url: str):
+    return json.loads(fetch_bytes(filename, url))
+
+
+def fetch_zipped(filename: str, url: str, member: str) -> bytes:
+    """Fetch a zip archive and return one member's bytes (cached unzipped)."""
+    cached = find_file(member)
+    if cached is not None:
+        return cached.read_bytes()
+    blob = fetch_bytes(filename, url)
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        data = zf.read(member)
+    out = cache_dir() / member
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_bytes(data)
+    return data

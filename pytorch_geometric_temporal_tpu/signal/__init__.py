@@ -1,0 +1,48 @@
+from .heterogeneous import (
+    DynamicHeteroGraphStaticSignal,
+    DynamicHeteroGraphStaticSignalBatch,
+    DynamicHeteroGraphTemporalSignal,
+    DynamicHeteroGraphTemporalSignalBatch,
+    StaticHeteroGraphTemporalSignal,
+    StaticHeteroGraphTemporalSignalBatch,
+)
+from .homogeneous import (
+    DynamicGraphStaticSignal,
+    DynamicGraphStaticSignalBatch,
+    DynamicGraphTemporalSignal,
+    DynamicGraphTemporalSignalBatch,
+    StaticGraphTemporalSignal,
+    StaticGraphTemporalSignalBatch,
+)
+from .index_dataset import (
+    DeviceWindower,
+    IndexDataset,
+    IndexLoader,
+    iter_index_batches,
+)
+from .snapshot import HeteroSnapshot, Snapshot
+from .split import temporal_signal_split
+from .stacked import StackedSignal
+
+__all__ = [
+    "DynamicGraphStaticSignal",
+    "DynamicGraphStaticSignalBatch",
+    "DynamicGraphTemporalSignal",
+    "DynamicGraphTemporalSignalBatch",
+    "StaticGraphTemporalSignal",
+    "StaticGraphTemporalSignalBatch",
+    "DynamicHeteroGraphStaticSignal",
+    "DynamicHeteroGraphStaticSignalBatch",
+    "DynamicHeteroGraphTemporalSignal",
+    "DynamicHeteroGraphTemporalSignalBatch",
+    "StaticHeteroGraphTemporalSignal",
+    "StaticHeteroGraphTemporalSignalBatch",
+    "DeviceWindower",
+    "IndexDataset",
+    "IndexLoader",
+    "iter_index_batches",
+    "HeteroSnapshot",
+    "Snapshot",
+    "temporal_signal_split",
+    "StackedSignal",
+]

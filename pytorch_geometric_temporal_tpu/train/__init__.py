@@ -1,0 +1,17 @@
+from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .losses import (
+    mae,
+    mape,
+    masked_mae_loss,
+    masked_mse_loss,
+    mse,
+    rmse,
+)
+from .scaler import ZScoreScaler
+from .trainer import BatchTrainer, SnapshotTrainer
+
+__all__ = [
+    "latest_step", "restore_checkpoint", "save_checkpoint",
+    "mae", "mape", "masked_mae_loss", "masked_mse_loss", "mse", "rmse",
+    "ZScoreScaler", "BatchTrainer", "SnapshotTrainer",
+]

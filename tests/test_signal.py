@@ -1,0 +1,228 @@
+"""Signal-layer tests: iterator semantics, slicing, dtype rules, hetero
+None-handling, stacking, index batching.
+
+Mirrors reference ``test/dataset_test.py`` synthetic-generator strategy
+(``:38-72``) and ``test/batch_test.py``; adds stacked-scan equivalence and
+device-windower equivalence checks (reference ``test/index_test.py:18-40``).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_geometric_temporal_tpu.signal import (
+    DeviceWindower,
+    DynamicGraphStaticSignal,
+    DynamicGraphTemporalSignal,
+    DynamicGraphTemporalSignalBatch,
+    DynamicHeteroGraphTemporalSignal,
+    IndexDataset,
+    StackedSignal,
+    StaticGraphTemporalSignal,
+    StaticGraphTemporalSignalBatch,
+    StaticHeteroGraphTemporalSignal,
+    iter_index_batches,
+    temporal_signal_split,
+)
+
+N, F, T = 10, 4, 12
+
+
+def generate_signal(rng, snapshot_count=T, n=N, f=F):
+    edge_index = np.unique(rng.integers(0, n, size=(2, 30)), axis=1)
+    edge_weight = rng.uniform(size=edge_index.shape[1]).astype(np.float32)
+    features = [rng.uniform(size=(n, f)).astype(np.float32) for _ in range(snapshot_count)]
+    targets = [rng.uniform(size=(n,)).astype(np.float32) for _ in range(snapshot_count)]
+    return edge_index, edge_weight, features, targets
+
+
+def test_static_graph_temporal_signal(rng):
+    ei, ew, feats, targs = generate_signal(rng)
+    extra = [rng.uniform(size=(N, 2)).astype(np.float32) for _ in range(T)]
+    sig = StaticGraphTemporalSignal(ei, ew, feats, targs, optional=extra)
+    assert sig.snapshot_count == T and len(sig) == T
+    count = 0
+    for t, snap in enumerate(sig):
+        assert snap.x.shape == (N, F)
+        assert snap.y.shape == (N,)
+        assert snap.y.dtype == jnp.float32
+        assert snap.optional.shape == (N, 2)
+        assert snap.edge_index.shape[0] == 2
+        np.testing.assert_allclose(snap.x, feats[t])
+        count += 1
+    assert count == T
+    # iterator resets
+    assert sum(1 for _ in sig) == T
+
+
+def test_int_targets_become_int32(rng):
+    ei, ew, feats, _ = generate_signal(rng)
+    targs = [rng.integers(0, 5, size=(N,)) for _ in range(T)]
+    sig = StaticGraphTemporalSignal(ei, ew, feats, targs)
+    snap = sig[0]
+    assert snap.y.dtype == jnp.int32
+
+
+def test_none_features_pass_through(rng):
+    ei, ew, _, targs = generate_signal(rng)
+    sig = StaticGraphTemporalSignal(ei, ew, [None] * T, targs)
+    assert sig[0].x is None
+
+
+def test_slicing_and_split(rng):
+    ei, ew, feats, targs = generate_signal(rng)
+    sig = StaticGraphTemporalSignal(ei, ew, feats, targs)
+    train, test = temporal_signal_split(sig, 0.75)
+    assert train.snapshot_count == 9 and test.snapshot_count == 3
+    np.testing.assert_allclose(test[0].x, feats[9])
+    sub = sig[2:5]
+    assert sub.snapshot_count == 3
+    np.testing.assert_allclose(sub[0].x, feats[2])
+
+
+def test_temporal_consistency_assert(rng):
+    ei, ew, feats, targs = generate_signal(rng)
+    with pytest.raises(AssertionError):
+        StaticGraphTemporalSignal(ei, ew, feats[:-1], targs)
+    with pytest.raises(AssertionError):
+        StaticGraphTemporalSignal(ei, ew, feats, targs, bad=[1, 2])
+
+
+def test_dynamic_graph_temporal_signal(rng):
+    eis = [np.unique(rng.integers(0, N, size=(2, rng.integers(10, 30))), axis=1)
+           for _ in range(T)]
+    ews = [rng.uniform(size=e.shape[1]).astype(np.float32) for e in eis]
+    feats = [rng.uniform(size=(N, F)).astype(np.float32) for _ in range(T)]
+    targs = [rng.uniform(size=(N,)).astype(np.float32) for _ in range(T)]
+    sig = DynamicGraphTemporalSignal(eis, ews, feats, targs)
+    pads = {snap.graph.edge_pad for snap in sig}
+    assert len(pads) == 1  # all snapshots padded to a common edge count
+    for t, snap in enumerate(sig):
+        assert snap.graph.num_edges == eis[t].shape[1]
+
+
+def test_dynamic_graph_static_signal(rng):
+    eis = [np.unique(rng.integers(0, N, size=(2, 20)), axis=1) for _ in range(T)]
+    ews = [rng.uniform(size=e.shape[1]).astype(np.float32) for e in eis]
+    feat = rng.uniform(size=(N, F)).astype(np.float32)
+    targs = [rng.uniform(size=(N,)).astype(np.float32) for _ in range(T)]
+    sig = DynamicGraphStaticSignal(eis, ews, feat, targs)
+    for snap in sig:
+        np.testing.assert_allclose(snap.x, feat)
+    sub = sig[0:6]
+    assert sub.snapshot_count == 6
+
+
+def test_batch_signals(rng):
+    ei, ew, feats, targs = generate_signal(rng)
+    batch = rng.integers(0, 2, size=(N,))
+    sig = StaticGraphTemporalSignalBatch(ei, ew, feats, targs, batch)
+    snap = sig[0]
+    assert snap.batch.shape == (N,) and snap.batch.dtype == jnp.int32
+    # dynamic variant with per-t batch
+    eis = [ei for _ in range(T)]
+    ews = [ew for _ in range(T)]
+    batches = [rng.integers(0, 2, size=(N,)) for _ in range(T)]
+    sig2 = DynamicGraphTemporalSignalBatch(eis, ews, feats, targs, batches)
+    for t, snap in enumerate(sig2):
+        np.testing.assert_array_equal(snap.batch, batches[t])
+
+
+def test_hetero_signal(rng):
+    n_a, n_b = 6, 4
+    ei = {("a", "to", "b"): np.stack([rng.integers(0, n_a, 9),
+                                      rng.integers(0, n_b, 9)])}
+    ew = {("a", "to", "b"): rng.uniform(size=9).astype(np.float32)}
+    feats = [{"a": rng.uniform(size=(n_a, F)).astype(np.float32),
+              "b": rng.uniform(size=(n_b, F)).astype(np.float32)}
+             for _ in range(T)]
+    targs = [{"a": rng.uniform(size=(n_a,)).astype(np.float32),
+              "b": None}
+             for _ in range(T)]
+    sig = StaticHeteroGraphTemporalSignal(ei, ew, feats, targs)
+    snap = sig[0]
+    assert set(snap.x_dict) == {"a", "b"}
+    assert set(snap.y_dict) == {"a"}  # None values skipped
+    g = snap.edge_graphs[("a", "to", "b")]
+    assert g.num_nodes == n_b and g.src_count == n_a
+    train, test = temporal_signal_split(sig, 0.5)
+    assert train.snapshot_count == 6
+
+
+def test_dynamic_hetero_signal(rng):
+    n_a = 6
+    eis = [{("a", "to", "a"): np.stack([rng.integers(0, n_a, 5),
+                                        rng.integers(0, n_a, 5)])}
+           for _ in range(T)]
+    ews = [{("a", "to", "a"): rng.uniform(size=5).astype(np.float32)}
+           for _ in range(T)]
+    feats = [{"a": rng.uniform(size=(n_a, F)).astype(np.float32)} for _ in range(T)]
+    targs = [{"a": rng.uniform(size=(n_a,)).astype(np.float32)} for _ in range(T)]
+    sig = DynamicHeteroGraphTemporalSignal(eis, ews, feats, targs)
+    assert sig.snapshot_count == T
+    snap = sig[3]
+    assert snap.x_dict["a"].shape == (n_a, F)
+
+
+def test_stacked_signal_matches_iteration(rng):
+    ei, ew, feats, targs = generate_signal(rng)
+    sig = StaticGraphTemporalSignal(ei, ew, feats, targs)
+    st = StackedSignal.from_signal(sig)
+    assert st.features.shape == (T, N, F)
+    assert st.snapshot_count == T
+
+    def step(carry, x, y, g):
+        return carry + x.sum() + y.sum(), x.mean()
+
+    total, means = st.scan(step, jnp.float32(0.0))
+    want = sum(float(np.sum(f)) + float(np.sum(y)) for f, y in zip(feats, targs))
+    np.testing.assert_allclose(float(total), want, rtol=1e-5)
+    assert means.shape == (T,)
+
+
+def test_stacked_dynamic_graph(rng):
+    eis = [np.unique(rng.integers(0, N, size=(2, rng.integers(8, 25))), axis=1)
+           for _ in range(T)]
+    ews = [rng.uniform(size=e.shape[1]).astype(np.float32) for e in eis]
+    feats = [rng.uniform(size=(N, F)).astype(np.float32) for _ in range(T)]
+    targs = [rng.uniform(size=(N,)).astype(np.float32) for _ in range(T)]
+    sig = DynamicGraphTemporalSignal(eis, ews, feats, targs)
+    st = StackedSignal.from_signal(sig)
+    assert st.graph_dynamic and st.senders.ndim == 2
+
+    from pytorch_geometric_temporal_tpu.ops import spmm_segment
+
+    def step(carry, x, y, g):
+        return carry, spmm_segment(g, x)
+
+    _, outs = st.scan(step, 0)
+    # per-step equivalence with the iterator path
+    for t, snap in enumerate(sig):
+        np.testing.assert_allclose(
+            outs[t], spmm_segment(snap.graph, snap.x), atol=1e-5
+        )
+
+
+def test_index_dataset_equivalence(rng):
+    """Golden cross-check in the spirit of reference test/index_test.py:18-40:
+    host IndexDataset slices == device-gathered windows."""
+    data = rng.uniform(size=(50, N, F)).astype(np.float32)
+    h = 6
+    idx = np.arange(50 - 2 * h + 1)
+    ds = IndexDataset(idx, data, h)
+    dw = DeviceWindower(data, h)
+    xb, yb = dw(jnp.asarray(idx[:5]))
+    for i in range(5):
+        x_host, y_host = ds[i]
+        np.testing.assert_allclose(xb[i], x_host, atol=1e-6)
+        np.testing.assert_allclose(yb[i], y_host, atol=1e-6)
+
+
+def test_iter_index_batches_sharding():
+    idx = np.arange(100)
+    b0 = np.concatenate(list(iter_index_batches(idx, 8, shuffle=False,
+                                                world_size=2, rank=0)))
+    b1 = np.concatenate(list(iter_index_batches(idx, 8, shuffle=False,
+                                                world_size=2, rank=1)))
+    assert len(np.intersect1d(b0, b1)) == 0
+    assert len(b0) == 48 and len(b1) == 48  # drop_last

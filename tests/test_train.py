@@ -1,0 +1,147 @@
+"""End-to-end training tests — the minimum slice of BASELINE config 1.
+
+Mirrors the reference's canonical example
+(``examples/recurrent/gconvgru_example.py:14-55``): GConvGRU + linear head
+on Hungary chickenpox, full-BPTT snapshot-loop training — here as ONE jitted
+epoch via ``StackedSignal.scan``.  Loss must decrease.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pytorch_geometric_temporal_tpu.data import ChickenpoxDatasetLoader
+from pytorch_geometric_temporal_tpu.data._io import find_file
+from pytorch_geometric_temporal_tpu.models import GConvGRU
+from pytorch_geometric_temporal_tpu.signal import (
+    StackedSignal,
+    temporal_signal_split,
+)
+from pytorch_geometric_temporal_tpu.train import (
+    BatchTrainer,
+    SnapshotTrainer,
+    ZScoreScaler,
+    masked_mae_loss,
+    mse,
+)
+
+needs_chickenpox = pytest.mark.skipif(
+    find_file("chickenpox.json") is None, reason="chickenpox.json not staged"
+)
+
+
+class RecurrentGCN(nn.Module):
+    """GConvGRU cell + ReLU + linear head (the reference example model)."""
+
+    filters: int = 32
+
+    @nn.compact
+    def __call__(self, x, graph, h=None):
+        h = GConvGRU(out_channels=self.filters, K=2, name="recurrent")(
+            x, graph, h
+        )
+        y = nn.Dense(1, name="head")(nn.relu(h))
+        return y[..., 0], h
+
+
+@needs_chickenpox
+def test_chickenpox_loader_shapes():
+    loader = ChickenpoxDatasetLoader()
+    dataset = loader.get_dataset(lags=4)
+    snap = dataset[0]
+    assert snap.x.shape == (20, 4)  # reference test/index_test.py:112-115
+    assert snap.y.shape == (20,)
+    assert snap.graph.num_edges == 102
+    assert dataset.snapshot_count > 490
+
+
+@needs_chickenpox
+def test_gconvgru_chickenpox_end_to_end():
+    loader = ChickenpoxDatasetLoader()
+    dataset = loader.get_dataset(lags=4)
+    train_sig, test_sig = temporal_signal_split(dataset, 0.2)
+    # use a small slice for CI speed (same protocol, fewer snapshots)
+    stacked = StackedSignal.from_signal(train_sig)
+
+    model = RecurrentGCN(filters=16)
+    key = jax.random.PRNGKey(42)
+    g0 = stacked.graph()
+    params = model.init(key, stacked.features[0], g0)
+
+    def loss_and_state(params, carry, x, y, graph):
+        pred, h = model.apply(params, x, graph, carry)
+        return mse(pred, y), h
+
+    trainer = SnapshotTrainer(loss_and_state, optax.adam(1e-2))
+    init_h = jnp.zeros((stacked.features.shape[1], 16))
+    opt_state = trainer.init(params)
+    l0 = float(trainer.evaluate(params, stacked, init_h))
+    for _ in range(15):
+        params, opt_state, loss = trainer.train_epoch(
+            params, opt_state, stacked, init_h
+        )
+    l1 = float(trainer.evaluate(params, stacked, init_h))
+    assert np.isfinite(l1)
+    assert l1 < l0 * 0.9, (l0, l1)
+
+
+@needs_chickenpox
+def test_chickenpox_index_batching_end_to_end():
+    loader = ChickenpoxDatasetLoader(index=True)
+    train_dl, val_dl, test_dl, edges, ew = loader.get_index_dataset(
+        lags=4, batch_size=8
+    )
+    x, y = next(iter(train_dl))
+    assert x.shape == (8, 4, 20, 1) and y.shape == (8, 4, 20, 1)
+    assert edges.shape[0] == 2
+
+    # quick batched training: predict y from x with a linear map
+    class Lin(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            b, t, n, f = x.shape
+            flat = x.transpose(0, 2, 1, 3).reshape(b, n, t * f)
+            out = nn.Dense(4)(flat)
+            return out.transpose(0, 2, 1)[..., None]
+
+    m = Lin()
+    params = m.init(jax.random.PRNGKey(0), x)
+    trainer = BatchTrainer(lambda p, xb: m.apply(p, xb), optax.adam(1e-2))
+    losses = []
+    trainer.fit(params, train_dl, epochs=2,
+                callback=lambda e, l, v: losses.append(l))
+    assert len(losses) == 2 and np.isfinite(losses[-1])
+
+
+def test_masked_mae_semantics():
+    pred = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    true = jnp.asarray([0.0, 2.5, 0.0, 5.0])
+    # mask selects entries 1 and 3; mask.mean()=0.5
+    want = np.mean([0, 0.5 / 0.5, 0, 1.0 / 0.5]) / 2
+    got = float(masked_mae_loss(pred, true))
+    np.testing.assert_allclose(got, 0.75)
+
+
+def test_zscore_scaler_roundtrip(rng):
+    data = rng.normal(3.0, 2.0, size=(100, 5)).astype(np.float32)
+    sc = ZScoreScaler.fit(data)
+    z = sc.transform(jnp.asarray(data))
+    np.testing.assert_allclose(np.mean(np.asarray(z)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(sc.inverse(z), data, atol=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from pytorch_geometric_temporal_tpu.train import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3), "n": jnp.int32(7)}
+    save_checkpoint(str(tmp_path / "ckpt"), state, step=3)
+    assert latest_step(str(tmp_path / "ckpt")) == 3
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), step=3, template=state)
+    np.testing.assert_allclose(restored["w"], state["w"])
