@@ -1,4 +1,14 @@
 from . import conv  # noqa: F401
+from .attention import (  # noqa: F401
+    AAGCN,
+    ASTGCN,
+    DNNTSP,
+    GMAN,
+    MSTGCN,
+    MTGNN,
+    STConv,
+    TemporalConv,
+)
 from .conv import (  # noqa: F401
     AVWGCN,
     ChebConv,

@@ -142,6 +142,16 @@ class Graph:
             num_src=None if self.num_src is None else self.num_nodes,
         )
 
+    def remove_self_loops(self) -> "Graph":
+        """Zero the weight of any self-loop edge (jit-safe; shape preserved).
+
+        Mirrors PyG ``remove_self_loops`` as used by ChebConvAttention
+        (reference ``nn/attention/astgcn.py:93``): with weights zeroed the
+        loops contribute to no aggregation, degree, or Laplacian entry.
+        """
+        keep = (self.senders != self.receivers).astype(self.weights.dtype)
+        return self.with_weights(self.weights * keep)
+
     def add_self_loops(self, fill_value: float = 1.0) -> "Graph":
         """Append one self-loop per node with the given weight.
 
