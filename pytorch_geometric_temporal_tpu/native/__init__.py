@@ -1,0 +1,169 @@
+"""Native (C++) host-side graph preprocessing, loaded via ctypes.
+
+Compiled lazily on first use into the user cache (``~/.cache/pgt_tpu``) with
+g++; every entry point has a numpy fallback so the framework works without a
+toolchain.  See ``graph_ops.cpp`` for the rationale.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _source_path() -> Path:
+    return Path(__file__).parent / "graph_ops.cpp"
+
+
+def _cache_lib_path() -> Path:
+    env = os.environ.get("PGT_TPU_DATA")
+    base = Path(env) if env else Path.home() / ".cache" / "pgt_tpu"
+    base.mkdir(parents=True, exist_ok=True)
+    return base / "libpgtt_graph_ops.so"
+
+
+def _build() -> Optional[Path]:
+    out = _cache_lib_path()
+    src = _source_path()
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(out)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return out
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None when unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("PGT_TPU_NO_NATIVE"):
+        return None
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+    lib.csr_from_coo.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i64p, i64p]
+    lib.csr_from_coo.restype = None
+    lib.bcsr_structure.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        i64p, i64p, i32p, i32p,
+    ]
+    lib.bcsr_structure.restype = ctypes.c_int64
+    lib.bcsr_fill.argtypes = [
+        i32p, i32p, f32p, i64p, ctypes.c_int64, ctypes.c_int32, f32p,
+    ]
+    lib.bcsr_fill.restype = None
+    lib.partition_edges.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p, i64p,
+    ]
+    lib.partition_edges.restype = None
+    _LIB = lib
+    return _LIB
+
+
+# ---------------------------------------------------------------------------
+# High-level wrappers with numpy fallbacks
+# ---------------------------------------------------------------------------
+
+
+def csr_from_coo(receivers: np.ndarray, num_nodes: int):
+    """(indptr, order): counting-sort CSR over receivers."""
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    e = len(receivers)
+    lib = get_lib()
+    if lib is not None:
+        indptr = np.zeros(num_nodes + 1, np.int64)
+        order = np.zeros(e, np.int64)
+        lib.csr_from_coo(receivers, e, num_nodes, indptr, order)
+        return indptr, order
+    order = np.argsort(receivers, kind="stable").astype(np.int64)
+    counts = np.bincount(receivers, minlength=num_nodes)
+    indptr = np.zeros(num_nodes + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr, order
+
+
+def bcsr_structure(senders, receivers, block: int, grid_cols: int):
+    """(nnzb, block_of_edge, tile_rows, tile_cols)."""
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    e = len(senders)
+    lib = get_lib()
+    if lib is not None and e > 0:
+        block_of_edge = np.zeros(e, np.int64)
+        order = np.zeros(e, np.int64)
+        max_tiles = min(e, grid_cols * grid_cols)
+        tile_rows = np.zeros(max_tiles, np.int32)
+        tile_cols = np.zeros(max_tiles, np.int32)
+        nnzb = lib.bcsr_structure(
+            senders, receivers, e, block, grid_cols,
+            block_of_edge, order, tile_rows, tile_cols,
+        )
+        return int(nnzb), block_of_edge, tile_rows[:nnzb], tile_cols[:nnzb]
+    keys = (receivers // block).astype(np.int64) * grid_cols + senders // block
+    uniq, inv = np.unique(keys, return_inverse=True)
+    return (
+        len(uniq),
+        inv.astype(np.int64),
+        (uniq // grid_cols).astype(np.int32),
+        (uniq % grid_cols).astype(np.int32),
+    )
+
+
+def bcsr_fill(senders, receivers, weights, block_of_edge, block: int,
+              nnzb: int) -> np.ndarray:
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    weights = np.ascontiguousarray(weights, np.float32)
+    block_of_edge = np.ascontiguousarray(block_of_edge, np.int64)
+    tiles = np.zeros((max(nnzb, 1), block, block), np.float32)
+    lib = get_lib()
+    if lib is not None and len(senders) > 0:
+        lib.bcsr_fill(senders, receivers, weights, block_of_edge,
+                      len(senders), block, tiles)
+        return tiles
+    np.add.at(
+        tiles, (block_of_edge, receivers % block, senders % block), weights
+    )
+    return tiles
+
+
+def partition_edges(receivers, nodes_per_part: int, num_parts: int):
+    """(counts, order): group edges by receiver part."""
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    e = len(receivers)
+    lib = get_lib()
+    if lib is not None:
+        counts = np.zeros(num_parts, np.int64)
+        order = np.zeros(e, np.int64)
+        lib.partition_edges(receivers, e, nodes_per_part, num_parts, counts,
+                            order)
+        return counts, order
+    part = receivers // nodes_per_part
+    counts = np.bincount(part, minlength=num_parts).astype(np.int64)
+    order = np.argsort(part, kind="stable").astype(np.int64)
+    return counts, order

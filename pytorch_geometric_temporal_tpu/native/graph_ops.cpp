@@ -1,0 +1,105 @@
+// Native graph preprocessing kernels (C ABI, loaded via ctypes).
+//
+// The reference delegates its native compute to torch_geometric's C++/CUDA
+// scatter kernels (SURVEY §2.6); in this framework the *device* compute path
+// is XLA/Pallas, and the native layer instead owns the host-side runtime:
+// one-pass O(E) edge preprocessing (CSR build, block-sparse structure,
+// partition assignment) that numpy can only do with O(E log E) sorts and
+// multiple passes.  Matters for the multi-million-edge graphs the node-
+// partitioned path targets.
+//
+// Build: g++ -O3 -march=native -shared -fPIC graph_ops.cpp -o libpgtt_graph_ops.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Counting-sort edges by receiver, producing CSR over receivers.
+//   indptr:  (num_nodes + 1) out
+//   order:   (num_edges) out — permutation such that receivers[order] is
+//            sorted ascending (stable).
+void csr_from_coo(const int32_t* receivers, int64_t num_edges,
+                  int32_t num_nodes, int64_t* indptr, int64_t* order) {
+  std::memset(indptr, 0, sizeof(int64_t) * (num_nodes + 1));
+  for (int64_t e = 0; e < num_edges; ++e) indptr[receivers[e] + 1]++;
+  for (int32_t n = 0; n < num_nodes; ++n) indptr[n + 1] += indptr[n];
+  std::vector<int64_t> cursor(indptr, indptr + num_nodes);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    order[cursor[receivers[e]]++] = e;
+  }
+}
+
+// Block-sparse structure: assign every edge to a (row_block, col_block)
+// tile, counting-sort edges by tile, and emit the unique tile list.
+// Returns the number of nonzero tiles (nnzb).
+//   block_of_edge: (num_edges) out — index into the unique-tile list.
+//   order:         (num_edges) out — edges grouped by tile.
+//   tile_rows/tile_cols: (max_tiles) out — row/col block index per tile
+//                        (only the first nnzb entries are valid).
+int64_t bcsr_structure(const int32_t* senders, const int32_t* receivers,
+                       int64_t num_edges, int32_t block, int32_t grid_cols,
+                       int64_t* block_of_edge, int64_t* order,
+                       int32_t* tile_rows, int32_t* tile_cols) {
+  const int64_t num_tiles = (int64_t)grid_cols * grid_cols;
+  std::vector<int64_t> count(num_tiles + 1, 0);
+  std::vector<int64_t> key(num_edges);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    key[e] = (int64_t)(receivers[e] / block) * grid_cols + senders[e] / block;
+    count[key[e] + 1]++;
+  }
+  // compact nonzero tiles
+  std::vector<int64_t> tile_id(num_tiles, -1);
+  int64_t nnzb = 0;
+  for (int64_t t = 0; t < num_tiles; ++t) {
+    if (count[t + 1] > 0) {
+      tile_id[t] = nnzb;
+      tile_rows[nnzb] = (int32_t)(t / grid_cols);
+      tile_cols[nnzb] = (int32_t)(t % grid_cols);
+      ++nnzb;
+    }
+  }
+  // prefix sums over nonzero tiles only
+  std::vector<int64_t> start(nnzb + 1, 0);
+  for (int64_t t = 0; t < num_tiles; ++t)
+    if (tile_id[t] >= 0) start[tile_id[t] + 1] = count[t + 1];
+  for (int64_t b = 0; b < nnzb; ++b) start[b + 1] += start[b];
+  std::vector<int64_t> cursor(start.begin(), start.end() - 1);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    int64_t b = tile_id[key[e]];
+    block_of_edge[e] = b;
+    order[cursor[b]++] = e;
+  }
+  return nnzb;
+}
+
+// Scatter edge values into dense (nnzb, block, block) tiles in one pass.
+void bcsr_fill(const int32_t* senders, const int32_t* receivers,
+               const float* weights, const int64_t* block_of_edge,
+               int64_t num_edges, int32_t block, float* tiles) {
+  const int64_t tile_sz = (int64_t)block * block;
+  for (int64_t e = 0; e < num_edges; ++e) {
+    int64_t b = block_of_edge[e];
+    int32_t r = receivers[e] % block;
+    int32_t c = senders[e] % block;
+    tiles[b * tile_sz + (int64_t)r * block + c] += weights[e];
+  }
+}
+
+// Partition edges by receiver block for node partitioning: counts per part
+// and a grouped edge order.
+void partition_edges(const int32_t* receivers, int64_t num_edges,
+                     int32_t nodes_per_part, int32_t num_parts,
+                     int64_t* counts, int64_t* order) {
+  std::memset(counts, 0, sizeof(int64_t) * num_parts);
+  for (int64_t e = 0; e < num_edges; ++e)
+    counts[receivers[e] / nodes_per_part]++;
+  std::vector<int64_t> start(num_parts + 1, 0);
+  for (int32_t p = 0; p < num_parts; ++p) start[p + 1] = start[p] + counts[p];
+  std::vector<int64_t> cursor(start.begin(), start.end() - 1);
+  for (int64_t e = 0; e < num_edges; ++e)
+    order[cursor[receivers[e] / nodes_per_part]++] = e;
+}
+
+}  // extern "C"

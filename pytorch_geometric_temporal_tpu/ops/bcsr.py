@@ -70,9 +70,12 @@ class BCSRMatrix:
     def from_graph(graph: Graph, block: int = BLOCK) -> "BCSRMatrix":
         """Host-side construction from a Graph (aggregation M[r,s] = w)."""
         e = graph.num_edges
-        s = np.asarray(graph.senders)[:e]
-        r = np.asarray(graph.receivers)[:e]
-        w = np.asarray(graph.masked_weights())[:e]
+        s_all, r_all, w_all = graph.host_edges()
+        s = np.asarray(s_all)[:e]
+        r = np.asarray(r_all)[:e]
+        w = np.asarray(w_all)[:e].copy()
+        if e < len(s_all):
+            pass  # padding already excluded by the [:e] slice
         n = graph.num_nodes
         return BCSRMatrix(
             fwd=_build_half(r, s, w, n, block),
@@ -87,18 +90,17 @@ class BCSRMatrix:
 
 
 def _build_half(rows, cols, vals, n, block) -> _BCSRHalf:
+    from ..native import bcsr_fill, bcsr_structure
+
     n_pad = _round_up(max(n, 1), block)
-    br = rows // block
-    bc = cols // block
-    keys = br.astype(np.int64) * (n_pad // block) + bc
-    uniq, inv = np.unique(keys, return_inverse=True)
-    nnzb = max(len(uniq), 1)
-    blocks = np.zeros((nnzb, block, block), np.float32)
-    if len(uniq):
-        np.add.at(blocks, (inv, rows % block, cols % block), vals)
-    block_rows = (uniq // (n_pad // block)).astype(np.int32)
-    block_cols = (uniq % (n_pad // block)).astype(np.int32)
-    if len(uniq) == 0:
+    grid_cols = n_pad // block
+    # sender=cols (within-block col index), receiver=rows (row index)
+    nnzb_real, block_of_edge, block_rows, block_cols = bcsr_structure(
+        cols, rows, block, grid_cols
+    )
+    nnzb = max(nnzb_real, 1)
+    blocks = bcsr_fill(cols, rows, vals, block_of_edge, block, nnzb)
+    if nnzb_real == 0:
         block_rows = np.zeros((1,), np.int32)
         block_cols = np.zeros((1,), np.int32)
     return _BCSRHalf(

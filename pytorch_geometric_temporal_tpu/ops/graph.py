@@ -103,7 +103,7 @@ class Graph:
         senders[:E] = edge_index[0]
         receivers[:E] = edge_index[1]
         weights[:E] = edge_weight
-        return Graph(
+        g = Graph(
             senders=jnp.asarray(senders),
             receivers=jnp.asarray(receivers),
             weights=jnp.asarray(weights, dtype=dtype),
@@ -111,6 +111,23 @@ class Graph:
             num_edges=int(E),
             num_src=None if num_src is None else int(num_src),
         )
+        # Host-side cache for preprocessing (BCSR/partition builders):
+        # avoids device->host round trips, which can dominate on remote
+        # devices.  Not part of the pytree; lost across jit boundaries.
+        object.__setattr__(g, "_host_edges", (senders, receivers, weights))
+        return g
+
+    def host_edges(self):
+        """(senders, receivers, weights) as numpy, fetched at most once."""
+        cached = getattr(self, "_host_edges", None)
+        if cached is None:
+            cached = (
+                np.asarray(self.senders),
+                np.asarray(self.receivers),
+                np.asarray(self.weights),
+            )
+            object.__setattr__(self, "_host_edges", cached)
+        return cached
 
     # -- basic properties --------------------------------------------------
 

@@ -63,20 +63,25 @@ class PartitionedGraph:
     def from_graph(graph: Graph, num_parts: int) -> "PartitionedGraph":
         n = graph.num_nodes
         npp = _round_up(n, num_parts) // num_parts
-        s = np.asarray(graph.senders)[: graph.num_edges]
-        r = np.asarray(graph.receivers)[: graph.num_edges]
-        w = np.asarray(graph.masked_weights())[: graph.num_edges]
-        part = r // npp
-        e_max = max(1, int(np.bincount(part, minlength=num_parts).max()))
+        s_all, r_all, w_all = graph.host_edges()
+        s = np.asarray(s_all)[: graph.num_edges]
+        r = np.asarray(r_all)[: graph.num_edges]
+        w = np.asarray(w_all)[: graph.num_edges]
+        from ..native import partition_edges
+
+        counts, order = partition_edges(r, npp, num_parts)
+        e_max = max(1, int(counts.max()))
         S = np.zeros((num_parts, e_max), np.int32)
         R = np.zeros((num_parts, e_max), np.int32)
         W = np.zeros((num_parts, e_max), np.float32)
+        off = 0
         for p in range(num_parts):
-            m = part == p
-            k = int(m.sum())
-            S[p, :k] = s[m]
-            R[p, :k] = r[m] - p * npp
-            W[p, :k] = w[m]
+            k = int(counts[p])
+            idx = order[off : off + k]
+            off += k
+            S[p, :k] = s[idx]
+            R[p, :k] = r[idx] - p * npp
+            W[p, :k] = w[idx]
         return PartitionedGraph(
             senders=jnp.asarray(S),
             receivers_local=jnp.asarray(R),

@@ -77,14 +77,20 @@ class SnapshotTrainer:
         return loss
 
     def fit(self, params, signal, epochs: int, init_carry=(),
-            callback: Optional[Callable] = None):
+            callback: Optional[Callable] = None, log_every: int = 1):
+        """Run ``epochs`` updates.  The loop never forces a host sync; the
+        callback (called every ``log_every`` epochs) receives the *device*
+        loss scalar — call ``float()`` on it only if you want to block."""
         opt_state = self.init(params)
+        loss = None
         for epoch in range(epochs):
             params, opt_state, loss = self.train_epoch(
                 params, opt_state, signal, init_carry
             )
-            if callback is not None:
-                callback(epoch, float(loss))
+            if callback is not None and epoch % log_every == 0:
+                callback(epoch, loss)
+        if loss is not None:
+            jax.block_until_ready(loss)
         return params, opt_state
 
 
@@ -135,22 +141,26 @@ class BatchTrainer:
 
     def fit(self, params, loader, epochs: int, val_loader=None,
             callback: Optional[Callable] = None):
+        """Per-batch training loop.  Losses accumulate ON DEVICE; the host
+        syncs once per epoch (at the callback), not once per batch."""
+        import jax.numpy as jnp
+
         opt_state = self.init(params)
         for epoch in range(epochs):
-            total, nb = 0.0, 0
+            total, nb = jnp.float32(0.0), 0
             for x, y in loader:
                 params, opt_state, loss = self.train_step(
                     params, opt_state, x, y
                 )
-                total += float(loss)
+                total = total + loss
                 nb += 1
             val = None
             if val_loader is not None:
-                vt, vn = 0.0, 0
+                vt, vn = jnp.float32(0.0), 0
                 for x, y in val_loader:
-                    vt += float(self.eval_step(params, x, y))
+                    vt = vt + self.eval_step(params, x, y)
                     vn += 1
-                val = vt / max(vn, 1)
+                val = float(vt) / max(vn, 1)
             if callback is not None:
-                callback(epoch, total / max(nb, 1), val)
+                callback(epoch, float(total) / max(nb, 1), val)
         return params, opt_state

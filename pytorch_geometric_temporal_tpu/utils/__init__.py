@@ -1,0 +1,3 @@
+from .profiling import StepTimer, device_memory_stats, trace
+
+__all__ = ["StepTimer", "device_memory_stats", "trace"]

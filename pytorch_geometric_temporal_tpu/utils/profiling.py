@@ -1,0 +1,87 @@
+"""Profiling / observability utilities.
+
+The reference has none in-library (SURVEY §5: examples time epochs with
+``time.time()`` and poll psutil/NVML to CSV).  Here: a step timer with
+throughput accounting, a ``jax.profiler`` trace context, and device memory
+stats.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import csv
+import time
+from typing import Optional
+
+
+class StepTimer:
+    """Wall-clock step timing with rolling throughput.
+
+    Usage::
+
+        timer = StepTimer(items_per_step=batch * seq_len)
+        for batch in loader:
+            with timer:
+                params, ... = train_step(...)   # must block on result
+        print(timer.summary())
+    """
+
+    def __init__(self, items_per_step: int = 1, warmup: int = 1):
+        self.items_per_step = items_per_step
+        self.warmup = warmup
+        self.times = []
+        self._t0 = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.times.append(time.perf_counter() - self._t0)
+        return False
+
+    @property
+    def steps(self) -> int:
+        return len(self.times)
+
+    def mean_step_time(self) -> float:
+        t = self.times[self.warmup :] or self.times
+        return sum(t) / max(len(t), 1)
+
+    def throughput(self) -> float:
+        m = self.mean_step_time()
+        return self.items_per_step / m if m > 0 else 0.0
+
+    def summary(self) -> str:
+        return (
+            f"{self.steps} steps, {self.mean_step_time() * 1e3:.2f} ms/step, "
+            f"{self.throughput():.1f} items/s"
+        )
+
+    def write_csv(self, path: str):
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["step", "seconds"])
+            for i, t in enumerate(self.times):
+                w.writerow([i, t])
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, host_tracer_level: Optional[int] = None):
+    """``jax.profiler`` trace context; view with TensorBoard / xprof."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_memory_stats(device=None) -> dict:
+    """Per-device memory stats (bytes) when the backend exposes them."""
+    import jax
+
+    device = device or jax.devices()[0]
+    stats = getattr(device, "memory_stats", None)
+    return stats() if callable(stats) else {}
