@@ -1,0 +1,150 @@
+"""Snapshot-loop training for every recurrent cell — one parameterized runner.
+
+Covers the reference's per-model example scripts
+(``examples/recurrent/{gconvgru,gconvlstm,gclstm,dcrnn,tgcn,a3tgcn,agcrn,
+lrgcn,mpnnlstm,dygrencoder,evolvegcno,evolvegcnh}_example.py``) with the
+same protocol: cell + ReLU + linear head, full-sequence BPTT, one Adam
+update per epoch — here as one jitted ``lax.scan`` epoch.
+
+Usage:  python snapshot_example.py --model dcrnn --epochs 50
+"""
+
+import argparse
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pytorch_geometric_temporal_tpu import models as M
+from pytorch_geometric_temporal_tpu.data import (
+    ChickenpoxDatasetLoader,
+    EnglandCovidDatasetLoader,
+)
+from pytorch_geometric_temporal_tpu.models.recurrent.lrgcn import split_relations
+from pytorch_geometric_temporal_tpu.signal import (
+    StackedSignal,
+    temporal_signal_split,
+)
+from pytorch_geometric_temporal_tpu.train import SnapshotTrainer, mse
+
+FILTERS = 32
+
+
+class Runner(nn.Module):
+    """Wraps any cell into (x, graph, carry) -> (prediction, carry)."""
+
+    model: str
+    lags: int
+    num_nodes: int
+
+    @nn.compact
+    def __call__(self, x, graph, carry):
+        name = self.model
+        head = nn.Dense(1, name="head")
+        if name == "gconvgru":
+            h = M.GConvGRU(FILTERS, K=2)(x, graph, carry)
+            return head(nn.relu(h))[..., 0], h
+        if name == "gconvlstm":
+            h, c = M.GConvLSTM(FILTERS, K=2)(x, graph, *carry)
+            return head(nn.relu(h))[..., 0], (h, c)
+        if name == "gclstm":
+            h, c = M.GCLSTM(FILTERS, K=2)(x, graph, *carry)
+            return head(nn.relu(h))[..., 0], (h, c)
+        if name == "dcrnn":
+            h = M.DCRNN(FILTERS, K=2)(x, graph, carry)
+            return head(nn.relu(h))[..., 0], h
+        if name == "tgcn":
+            h = M.TGCN(FILTERS)(x, graph, carry)
+            return head(nn.relu(h))[..., 0], h
+        if name == "a3tgcn":
+            # periods = lags; input (N, 1, T)
+            h = M.A3TGCN(FILTERS, periods=self.lags)(x[:, None, :], graph)
+            return head(nn.relu(h))[..., 0], carry
+        if name == "agcrn":
+            e = self.param(
+                "node_embeddings", nn.initializers.uniform(1.0),
+                (self.num_nodes, 4),
+            )
+            h = M.AGCRN(self.num_nodes, FILTERS, K=2, embedding_dimensions=4)(
+                x[None], e, carry
+            )
+            return head(nn.relu(h))[0, ..., 0], h
+        if name == "mpnnlstm":
+            h = M.MPNNLSTM(FILTERS, self.num_nodes, window=1, dropout=0.5)(
+                x, graph
+            )
+            return head(nn.relu(h))[..., 0], carry
+        if name == "dygrencoder":
+            h_tilde, h, c = M.DyGrEncoder(
+                conv_out_channels=FILTERS, conv_num_layers=1, conv_aggr="mean",
+                lstm_out_channels=FILTERS, lstm_num_layers=1,
+            )(x, graph, *carry)
+            return head(nn.relu(h_tilde))[..., 0], (h, c)
+        if name == "evolvegcno":
+            out, w = M.EvolveGCNO(in_channels=x.shape[-1])(x, graph, carry)
+            return head(nn.relu(out))[..., 0], w
+        if name == "evolvegcnh":
+            out, w = M.EvolveGCNH(
+                num_of_nodes=self.num_nodes, in_channels=x.shape[-1]
+            )(x, graph, carry)
+            return head(nn.relu(out))[..., 0], w
+        raise ValueError(f"unknown model {name!r}")
+
+
+def init_carry(model, n, f):
+    z = jnp.zeros((n, FILTERS))
+    if model in ("gconvlstm", "gclstm", "dygrencoder"):
+        return (z, z)
+    if model in ("a3tgcn", "mpnnlstm"):
+        return 0.0  # stateless placeholders
+    if model in ("evolvegcno", "evolvegcnh"):
+        return jnp.zeros((f, f))  # evolved weight (init applied on None)
+    if model == "agcrn":
+        return z[None]
+    return z
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="gconvgru")
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--dataset", default="chickenpox",
+                    choices=["chickenpox", "encovid"])
+    args = ap.parse_args()
+
+    if args.dataset == "chickenpox":
+        dataset = ChickenpoxDatasetLoader().get_dataset(lags=4)
+        lags = 4
+    else:
+        dataset = EnglandCovidDatasetLoader().get_dataset(lags=8)
+        lags = 8
+    train_sig, test_sig = temporal_signal_split(dataset, 0.8)
+    train = StackedSignal.from_signal(train_sig)
+    test = StackedSignal.from_signal(test_sig)
+    n, f = train.features.shape[1], train.features.shape[2]
+
+    model = Runner(args.model, lags, n)
+    carry0 = init_carry(args.model, n, f)
+    g0 = train.graph(0) if train.graph_dynamic else train.graph()
+    params = model.init(jax.random.PRNGKey(42), train.features[0], g0, carry0)
+
+    def loss_and_state(p, carry, x, y, graph):
+        pred, carry = model.apply(p, x, graph, carry)
+        return mse(pred, y), carry
+
+    # evolvegcn carries a weight that must start from the learned initial
+    # weight; using zeros would bias epoch 1 — thread None-like semantics by
+    # evaluating the first step outside scan is overkill for an example, so
+    # we simply accept the zero-start (documented deviation for the example).
+    trainer = SnapshotTrainer(loss_and_state, optax.adam(1e-2))
+    params, _ = trainer.fit(
+        params, train, epochs=args.epochs, init_carry=carry0, log_every=10,
+        callback=lambda e, l: print(f"epoch {e}: {float(l):.4f}"),
+    )
+    print("test MSE:", float(trainer.evaluate(params, test, carry0)))
+
+
+if __name__ == "__main__":
+    main()
