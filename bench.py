@@ -50,7 +50,7 @@ def bench_jax(ei, w, x_np, y_np):
     y = jnp.asarray(y_np)
     mean, std = jnp.float32(54.0), jnp.float32(20.0)  # METR-LA-like stats
 
-    model = DCRNNSeq(out_channels=F, K=K)
+    model = DCRNNSeq(out_channels=F, K=K, unroll=T)
     params = model.init(jax.random.PRNGKey(0), x, g)
     opt = optax.adam(1e-3)
 

@@ -119,6 +119,7 @@ class DCRNNSeq(nn.Module):
     out_channels: int
     K: int
     use_bias: bool = True
+    unroll: int = 1  # lax.scan unroll factor (trade compile time for speed)
 
     @nn.compact
     def __call__(self, x, graph: Graph, h0: Optional[jnp.ndarray] = None):
@@ -132,6 +133,7 @@ class DCRNNSeq(nn.Module):
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
+            unroll=self.unroll,
         )
         _, hs = scan(cell, h0, x)
         return hs
