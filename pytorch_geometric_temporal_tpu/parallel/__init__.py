@@ -1,5 +1,6 @@
 from .data_parallel import make_dp_train_step
 from .mesh import make_mesh, named_sharding, replicate, shard_batch
+from .multihost import assert_same_across_hosts, initialize as initialize_multihost
 from .partition import PartitionedGraph, spmm_partitioned
 
 __all__ = [
@@ -9,5 +10,7 @@ __all__ = [
     "replicate",
     "shard_batch",
     "PartitionedGraph",
+    "assert_same_across_hosts",
+    "initialize_multihost",
     "spmm_partitioned",
 ]

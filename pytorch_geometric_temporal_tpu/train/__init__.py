@@ -1,4 +1,5 @@
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .guards import DivergenceGuard, loss_is_finite
 from .losses import (
     mae,
     mape,
@@ -14,4 +15,5 @@ __all__ = [
     "latest_step", "restore_checkpoint", "save_checkpoint",
     "mae", "mape", "masked_mae_loss", "masked_mse_loss", "mse", "rmse",
     "ZScoreScaler", "BatchTrainer", "SnapshotTrainer",
+    "DivergenceGuard", "loss_is_finite",
 ]

@@ -84,4 +84,5 @@ def device_memory_stats(device=None) -> dict:
 
     device = device or jax.devices()[0]
     stats = getattr(device, "memory_stats", None)
-    return stats() if callable(stats) else {}
+    out = stats() if callable(stats) else None
+    return out if isinstance(out, dict) else {}

@@ -199,3 +199,19 @@ def test_graph_is_pytree(rng):
 
     x = jnp.ones((13, 2))
     f(g, x)  # must not raise
+
+
+def test_sddmm(rng):
+    from pytorch_geometric_temporal_tpu.ops import sddmm
+
+    g, a = random_graph(rng, pad=4)
+    qa = rng.normal(size=(13, 6)).astype(np.float32)
+    qb = rng.normal(size=(13, 6)).astype(np.float32)
+    scores = np.asarray(sddmm(g, jnp.asarray(qa), jnp.asarray(qb)))
+    s = np.asarray(g.senders)
+    r = np.asarray(g.receivers)
+    for i in range(g.num_edges):
+        np.testing.assert_allclose(
+            scores[i], qa[s[i]] @ qb[r[i]], atol=1e-4
+        )
+    assert np.all(scores[g.num_edges:] == 0)
