@@ -13,5 +13,9 @@ Typical usage::
 __version__ = "0.1.0"
 
 from . import data, models, ops, parallel, signal, train  # noqa: F401
+from . import dataset, nn  # noqa: F401  (reference-layout aliases)
 from .config import config_override, get_config  # noqa: F401
+from .data import *  # noqa: F401,F403
+from .models import *  # noqa: F401,F403
 from .ops import Graph  # noqa: F401
+from .signal import *  # noqa: F401,F403

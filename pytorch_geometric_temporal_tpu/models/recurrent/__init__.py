@@ -1,6 +1,7 @@
 from .agcrn import AGCRN
 from .attentiontemporalgcn import A3TGCN, A3TGCN2
 from .dcrnn import DConv, DCRNN, DCRNNSeq
+BatchedDCRNN = DCRNNSeq
 from .dygrae import DyGrEncoder
 from .evolvegcn import EvolveGCNH, EvolveGCNO
 from .gc_lstm import GCLSTM
@@ -11,7 +12,7 @@ from .mpnn_lstm import MPNNLSTM
 from .temporalgcn import TGCN, TGCN2
 
 __all__ = [
-    "AGCRN", "A3TGCN", "A3TGCN2", "DConv", "DCRNN", "DCRNNSeq",
+    "AGCRN", "A3TGCN", "A3TGCN2", "DConv", "DCRNN", "DCRNNSeq", "BatchedDCRNN",
     "DyGrEncoder", "EvolveGCNH", "EvolveGCNO", "GCLSTM", "GConvGRU",
     "GConvLSTM", "LRGCN", "split_relations", "MPNNLSTM", "TGCN", "TGCN2",
 ]
