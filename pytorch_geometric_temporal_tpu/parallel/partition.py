@@ -34,16 +34,22 @@ def _round_up(x: int, m: int) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["senders", "receivers_local", "weights"],
-    meta_fields=["num_parts", "nodes_per_part", "num_nodes", "edges_per_part"],
+    meta_fields=["num_parts", "nodes_per_part", "num_nodes", "edges_per_part",
+                 "partitioned_by"],
 )
 @dataclasses.dataclass(frozen=True)
 class PartitionedGraph:
     """Host-built partition of a :class:`Graph` into P node blocks.
 
-    Arrays (all (P, E_part)):
-        senders: global (padded) node index of each edge's source.
-        receivers_local: receiver index *within* the owning part.
-        weights: edge weight, 0 for padding.
+    Arrays (all (P, E_part)); meaning depends on ``partitioned_by``:
+
+    - ``'receiver'`` (default): row p holds the edges INTO part p —
+      ``senders`` are global node ids, ``receivers_local`` are indices
+      within part p.  Used with the 'gather' exchange.
+    - ``'sender'``: row p holds the edges OUT OF part p — ``senders`` are
+      indices within part p, ``receivers_local`` are *global* node ids.
+      Used with the 'scatter' (psum_scatter) exchange.
+
     Node block p owns global nodes [p·nodes_per_part, (p+1)·nodes_per_part).
     """
 
@@ -54,13 +60,17 @@ class PartitionedGraph:
     nodes_per_part: int
     num_nodes: int  # original (unpadded) node count
     edges_per_part: int
+    partitioned_by: str = "receiver"
 
     @property
     def padded_nodes(self) -> int:
         return self.num_parts * self.nodes_per_part
 
     @staticmethod
-    def from_graph(graph: Graph, num_parts: int) -> "PartitionedGraph":
+    def from_graph(graph: Graph, num_parts: int,
+                   by: str = "receiver") -> "PartitionedGraph":
+        if by not in ("receiver", "sender"):
+            raise ValueError("by must be 'receiver' or 'sender'")
         n = graph.num_nodes
         npp = _round_up(n, num_parts) // num_parts
         s_all, r_all, w_all = graph.host_edges()
@@ -69,7 +79,8 @@ class PartitionedGraph:
         w = np.asarray(w_all)[: graph.num_edges]
         from ..native import partition_edges
 
-        counts, order = partition_edges(r, npp, num_parts)
+        key = r if by == "receiver" else s
+        counts, order = partition_edges(key, npp, num_parts)
         e_max = max(1, int(counts.max()))
         S = np.zeros((num_parts, e_max), np.int32)
         R = np.zeros((num_parts, e_max), np.int32)
@@ -79,9 +90,14 @@ class PartitionedGraph:
             k = int(counts[p])
             idx = order[off : off + k]
             off += k
-            S[p, :k] = s[idx]
-            R[p, :k] = r[idx] - p * npp
             W[p, :k] = w[idx]
+            if by == "receiver":
+                S[p, :k] = s[idx]
+                R[p, :k] = r[idx] - p * npp
+            else:
+                S[p, :k] = s[idx] - p * npp
+                R[p, :k] = r[idx]
+            # padded tail edges keep S=R=0 with weight 0: zero contribution
         return PartitionedGraph(
             senders=jnp.asarray(S),
             receivers_local=jnp.asarray(R),
@@ -90,6 +106,7 @@ class PartitionedGraph:
             nodes_per_part=npp,
             num_nodes=n,
             edges_per_part=e_max,
+            partitioned_by=by,
         )
 
     def pad_features(self, x) -> jnp.ndarray:
@@ -112,27 +129,60 @@ def spmm_partitioned(
     x: jnp.ndarray,
     mesh: Mesh,
     axis_name: str = "graph",
+    exchange: str = "gather",
 ) -> jnp.ndarray:
     """Sharded aggregation: out[r] = Σ_{s->r} w · x[s], node-sharded.
 
     ``x``: (N_pad, F) sharded over ``axis_name``; returns the same sharding.
-    Inside each shard: one ``all_gather`` over ICI brings in remote sender
-    features, then a local gather + segment-sum produces the owned block.
-    Safe under jit and differentiable (all_gather transposes to
-    reduce-scatter in the backward pass).
+
+    Two exchange strategies (same O(N·F) ICI volume, different shapes):
+
+    - ``'gather'``  (receiver-partitioned edges): one ``all_gather`` brings
+      remote sender features in, then a local gather + segment-sum emits the
+      owned receiver block.  Backward = reduce-scatter (automatic).
+    - ``'scatter'`` (sender-partitioned edges, build with
+      ``from_graph(..., by='sender')``): each device forms messages from its
+      LOCAL sender features into a full-length partial output and a
+      ``psum_scatter`` reduces+distributes receiver blocks.  No feature
+      gather at all — the shape that generalizes to sparse halo exchange.
     """
     from jax import shard_map
 
     npp = pgraph.nodes_per_part
 
-    def local(es, er, ew, x_local):
-        # es/er/ew: (1, E); x_local: (npp, F)
-        x_full = jax.lax.all_gather(x_local, axis_name, tiled=True)
-        msgs = x_full[es[0]] * ew[0][:, None].astype(x_local.dtype)
-        return jax.ops.segment_sum(msgs, er[0], num_segments=npp)
-
     spec_e = PartitionSpec(axis_name, None)
     spec_x = PartitionSpec(axis_name, None)
+
+    if exchange == "gather":
+        if pgraph.partitioned_by != "receiver":
+            raise ValueError("'gather' exchange needs receiver-partitioned edges")
+
+        def local(es, er, ew, x_local):
+            # es/er/ew: (1, E); x_local: (npp, F)
+            x_full = jax.lax.all_gather(x_local, axis_name, tiled=True)
+            msgs = x_full[es[0]] * ew[0][:, None].astype(x_local.dtype)
+            return jax.ops.segment_sum(msgs, er[0], num_segments=npp)
+
+    elif exchange == "scatter":
+        if pgraph.partitioned_by != "sender":
+            raise ValueError("'scatter' exchange needs sender-partitioned edges")
+        n_pad = pgraph.padded_nodes
+
+        def local(es_local, er_global, ew, x_local):
+            # edges grouped by *sender* part: senders are local indices,
+            # receivers are global
+            msgs = x_local[es_local[0]] * ew[0][:, None].astype(x_local.dtype)
+            partial = jax.ops.segment_sum(
+                msgs, er_global[0], num_segments=n_pad
+            )
+            # reduce partials across devices and keep the owned block
+            return jax.lax.psum_scatter(
+                partial, axis_name, scatter_dimension=0, tiled=True
+            )
+
+    else:
+        raise ValueError(f"unknown exchange {exchange!r}")
+
     return shard_map(
         local,
         mesh=mesh,

@@ -66,6 +66,18 @@ class SnapshotTrainer:
         self._train_epoch = jax.jit(train_epoch)
         self._eval_epoch = jax.jit(epoch_loss)
 
+        def train_epochs(params, opt_state, signal, init_carry, num_epochs):
+            def body(_, c):
+                p, s, _ = c
+                return train_epoch(p, s, signal, init_carry)
+
+            return jax.lax.fori_loop(
+                0, num_epochs, body,
+                (params, opt_state, jnp.float32(0.0)),
+            )
+
+        self._train_epochs = jax.jit(train_epochs, static_argnums=(4,))
+
     def init(self, params):
         return self.optimizer.init(params)
 
@@ -78,17 +90,22 @@ class SnapshotTrainer:
 
     def fit(self, params, signal, epochs: int, init_carry=(),
             callback: Optional[Callable] = None, log_every: int = 1):
-        """Run ``epochs`` updates.  The loop never forces a host sync; the
-        callback (called every ``log_every`` epochs) receives the *device*
-        loss scalar — call ``float()`` on it only if you want to block."""
+        """Run ``epochs`` updates with ONE device dispatch per ``log_every``
+        epochs (a ``fori_loop`` of whole epochs inside jit) — minimizes
+        host→device round trips.  The callback receives the *device* loss
+        scalar of the chunk's last epoch — ``float()`` it only if you want
+        to block."""
         opt_state = self.init(params)
         loss = None
-        for epoch in range(epochs):
-            params, opt_state, loss = self.train_epoch(
-                params, opt_state, signal, init_carry
+        done = 0
+        while done < epochs:
+            chunk = min(max(log_every, 1), epochs - done)
+            params, opt_state, loss = self._train_epochs(
+                params, opt_state, signal, init_carry, chunk
             )
-            if callback is not None and epoch % log_every == 0:
-                callback(epoch, loss)
+            done += chunk
+            if callback is not None:
+                callback(done - 1, loss)
         if loss is not None:
             jax.block_until_ready(loss)
         return params, opt_state
