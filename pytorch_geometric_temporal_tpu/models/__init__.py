@@ -31,6 +31,7 @@ from .recurrent import (  # noqa: F401
     DyGrEncoder,
     EvolveGCNH,
     EvolveGCNO,
+    EvolveGCNOSeq,
     GCLSTM,
     GConvGRU,
     GConvLSTM,

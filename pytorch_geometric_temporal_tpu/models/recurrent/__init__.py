@@ -3,7 +3,7 @@ from .attentiontemporalgcn import A3TGCN, A3TGCN2
 from .dcrnn import DConv, DCRNN, DCRNNSeq
 BatchedDCRNN = DCRNNSeq
 from .dygrae import DyGrEncoder
-from .evolvegcn import EvolveGCNH, EvolveGCNO
+from .evolvegcn import EvolveGCNH, EvolveGCNO, EvolveGCNOSeq
 from .gc_lstm import GCLSTM
 from .gconv_gru import GConvGRU
 from .gconv_lstm import GConvLSTM
@@ -13,6 +13,6 @@ from .temporalgcn import TGCN, TGCN2
 
 __all__ = [
     "AGCRN", "A3TGCN", "A3TGCN2", "DConv", "DCRNN", "DCRNNSeq", "BatchedDCRNN",
-    "DyGrEncoder", "EvolveGCNH", "EvolveGCNO", "GCLSTM", "GConvGRU",
+    "DyGrEncoder", "EvolveGCNH", "EvolveGCNO", "EvolveGCNOSeq", "GCLSTM", "GConvGRU",
     "GConvLSTM", "LRGCN", "split_relations", "MPNNLSTM", "TGCN", "TGCN2",
 ]

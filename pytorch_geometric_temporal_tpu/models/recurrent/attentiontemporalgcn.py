@@ -34,6 +34,11 @@ class A3TGCN(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: Graph, h: Optional[jnp.ndarray] = None):
+        if x.shape[-1] != self.periods:
+            raise ValueError(
+                f"A3TGCN expects input (..., N, F, T={self.periods}); got "
+                f"trailing dim {x.shape[-1]} (shape {x.shape})"
+            )
         att = self.param(
             "attention",
             lambda key, shape: jax.random.uniform(key, shape),

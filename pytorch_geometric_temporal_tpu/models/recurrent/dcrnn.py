@@ -123,6 +123,14 @@ class DCRNNSeq(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: Graph, h0: Optional[jnp.ndarray] = None):
+        if x.ndim != 4:
+            raise ValueError(
+                f"DCRNNSeq expects input (B, T, N, F); got shape {x.shape}"
+            )
+        if x.shape[2] != graph.num_nodes:
+            raise ValueError(
+                f"node axis {x.shape[2]} != graph.num_nodes {graph.num_nodes}"
+            )
         B, T, N, F = x.shape
         if h0 is None:
             h0 = jnp.zeros((B, N, self.out_channels), x.dtype)

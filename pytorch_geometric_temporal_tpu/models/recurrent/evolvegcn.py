@@ -61,6 +61,64 @@ class EvolveGCNO(nn.Module):
         return out, new_w
 
 
+class EvolveGCNOSeq(nn.Module):
+    """EvolveGCN-O scanned over a snapshot sequence with weight carry.
+
+    forward: (xs (T, N, F), graph) -> (T, N, F).  ``graph`` is either a
+    static :class:`Graph` or a stacked dynamic graph (edge arrays (T, E),
+    from ``ops.stack_graphs``).  Step 0 runs with ``weight=None`` (the
+    learned initial weight, reference ``evolvegcno.py:186-189``); the
+    evolved weight then threads through a ``lax.scan`` — the functional
+    equivalent of the reference's persistent module state.
+    """
+
+    in_channels: int
+    improved: bool = False
+    normalize: bool = True
+    add_self_loops: bool = True
+
+    @nn.compact
+    def __call__(self, xs, graph):
+        from ...ops.graph import Graph as G
+
+        cell = EvolveGCNO(self.in_channels, self.improved, self.normalize,
+                          self.add_self_loops, name="cell")
+        dynamic = graph.senders.ndim == 2
+
+        def graph_at(t_arrays):
+            s, r, w = t_arrays
+            return G(s, r, w, graph.num_nodes, graph.num_edges)
+
+        g0 = graph_at((graph.senders[0], graph.receivers[0],
+                       graph.weights[0])) if dynamic else graph
+        out0, w_carry = cell(xs[0], g0, None)
+
+        def step(c, carry, xt_and_g):
+            if dynamic:
+                xt, s, r, w = xt_and_g
+                g = graph_at((s, r, w))
+            else:
+                xt = xt_and_g
+                g = graph
+            out, new_w = c(xt, g, carry)
+            return new_w, out
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        if dynamic:
+            rest = (xs[1:], graph.senders[1:], graph.receivers[1:],
+                    graph.weights[1:])
+        else:
+            rest = xs[1:]
+        _, outs = scan(cell, w_carry, rest)
+        return jnp.concatenate([out0[None], outs], axis=0)
+
+
 class EvolveGCNH(nn.Module):
     """forward: (X, graph, weight=None) -> (X', weight).
 

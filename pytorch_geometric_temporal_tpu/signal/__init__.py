@@ -22,7 +22,7 @@ from .index_dataset import (
 )
 from .snapshot import HeteroSnapshot, Snapshot
 from .split import temporal_signal_split
-from .stacked import StackedSignal
+from .stacked import StackedHeteroSignal, StackedSignal
 
 __all__ = [
     "DynamicGraphStaticSignal",
@@ -45,4 +45,5 @@ __all__ = [
     "Snapshot",
     "temporal_signal_split",
     "StackedSignal",
+    "StackedHeteroSignal",
 ]

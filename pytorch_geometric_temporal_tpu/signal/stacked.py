@@ -129,3 +129,127 @@ class StackedSignal:
                 return step(carry, f, y, g_static)
 
         return jax.lax.scan(body, init_carry, xs, unroll=unroll)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x_dicts", "y_dicts", "edge_senders", "edge_receivers",
+                 "edge_weights"],
+    meta_fields=["edge_meta", "graph_dynamic"],
+)
+@dataclasses.dataclass(frozen=True)
+class StackedHeteroSignal:
+    """Whole heterogeneous temporal signal as stacked device arrays.
+
+    x_dicts / y_dicts: {node_type: (T, n_t, ...)}.
+    edge_*: {edge_type: (E,) or (T, E)} arrays; ``edge_meta`` maps each edge
+    type to (num_nodes_dst, num_edges, num_src).
+
+    Requires every step to carry the same node/edge-type keys (the hetero
+    None-skipping semantics are an iterator-level feature; stacking needs
+    uniform presence).
+    """
+
+    x_dicts: Dict[str, jnp.ndarray]
+    y_dicts: Dict[str, jnp.ndarray]
+    edge_senders: Dict[tuple, jnp.ndarray]
+    edge_receivers: Dict[tuple, jnp.ndarray]
+    edge_weights: Dict[tuple, jnp.ndarray]
+    edge_meta: tuple  # sorted ((edge_type, (n_dst, n_edges, n_src)), ...)
+    graph_dynamic: bool
+
+    @property
+    def _meta(self) -> dict:
+        return dict(self.edge_meta)
+
+    @property
+    def snapshot_count(self) -> int:
+        return next(iter(self.y_dicts.values())).shape[0]
+
+    def edge_graphs(self, t: Optional[int] = None):
+        out = {}
+        meta = self._meta
+        for k in self.edge_senders:
+            n_dst, n_edges, n_src = meta[k]
+            if self.graph_dynamic:
+                out[k] = Graph(
+                    self.edge_senders[k][t], self.edge_receivers[k][t],
+                    self.edge_weights[k][t], n_dst, n_edges, n_src,
+                )
+            else:
+                out[k] = Graph(
+                    self.edge_senders[k], self.edge_receivers[k],
+                    self.edge_weights[k], n_dst, n_edges, n_src,
+                )
+        return out
+
+    @staticmethod
+    def from_signal(signal) -> "StackedHeteroSignal":
+        T = signal.snapshot_count
+        snaps = [signal[t] for t in range(T)]
+        keys_x = set(snaps[0].x_dict)
+        keys_y = set(snaps[0].y_dict)
+        for s in snaps:
+            if set(s.x_dict) != keys_x or set(s.y_dict) != keys_y:
+                raise ValueError(
+                    "StackedHeteroSignal requires uniform node-type keys "
+                    "across all snapshots"
+                )
+        x_dicts = {
+            nt: jnp.stack([s.x_dict[nt] for s in snaps]) for nt in keys_x
+        }
+        y_dicts = {
+            nt: jnp.stack([s.y_dict[nt] for s in snaps]) for nt in keys_y
+        }
+        graph_dynamic = bool(getattr(signal, "_graph_dynamic", False))
+        g0 = snaps[0].edge_graphs
+        senders, receivers, weights, meta = {}, {}, {}, {}
+        for k, g in g0.items():
+            meta[k] = (g.num_nodes, max(s.edge_graphs[k].num_edges
+                                        for s in snaps) if graph_dynamic
+                       else g.num_edges, g.num_src)
+            if graph_dynamic:
+                senders[k] = jnp.stack([s.edge_graphs[k].senders for s in snaps])
+                receivers[k] = jnp.stack(
+                    [s.edge_graphs[k].receivers for s in snaps]
+                )
+                weights[k] = jnp.stack(
+                    [s.edge_graphs[k].masked_weights() for s in snaps]
+                )
+            else:
+                senders[k], receivers[k], weights[k] = (
+                    g.senders, g.receivers, g.weights
+                )
+        return StackedHeteroSignal(
+            x_dicts=x_dicts, y_dicts=y_dicts, edge_senders=senders,
+            edge_receivers=receivers, edge_weights=weights,
+            edge_meta=tuple(sorted(meta.items())),
+            graph_dynamic=graph_dynamic,
+        )
+
+    def scan(self, step: Callable, init_carry, unroll: int = 1):
+        """``step(carry, x_dict, y_dict, edge_graphs) -> (carry, out)``
+        scanned over all snapshots."""
+        if self.graph_dynamic:
+            xs = (self.x_dicts, self.y_dicts, self.edge_senders,
+                  self.edge_receivers, self.edge_weights)
+
+            meta = self._meta
+
+            def body(carry, x):
+                xd, yd, es, er, ew = x
+                graphs = {
+                    k: Graph(es[k], er[k], ew[k], *meta[k][:2], meta[k][2])
+                    for k in es
+                }
+                return step(carry, xd, yd, graphs)
+
+        else:
+            xs = (self.x_dicts, self.y_dicts)
+            graphs = self.edge_graphs()
+
+            def body(carry, x):
+                xd, yd = x
+                return step(carry, xd, yd, graphs)
+
+        return jax.lax.scan(body, init_carry, xs, unroll=unroll)

@@ -226,3 +226,41 @@ def test_iter_index_batches_sharding():
                                                 world_size=2, rank=1)))
     assert len(np.intersect1d(b0, b1)) == 0
     assert len(b0) == 48 and len(b1) == 48  # drop_last
+
+
+def test_stacked_hetero_signal(rng):
+    from pytorch_geometric_temporal_tpu.signal import StackedHeteroSignal
+
+    n_a, n_b = 6, 4
+    ei = {("a", "to", "b"): np.stack([rng.integers(0, n_a, 9),
+                                      rng.integers(0, n_b, 9)])}
+    ew = {("a", "to", "b"): rng.uniform(size=9).astype(np.float32)}
+    feats = [{"a": rng.uniform(size=(n_a, F)).astype(np.float32),
+              "b": rng.uniform(size=(n_b, F)).astype(np.float32)}
+             for _ in range(T)]
+    targs = [{"a": rng.uniform(size=(n_a,)).astype(np.float32),
+              "b": rng.uniform(size=(n_b,)).astype(np.float32)}
+             for _ in range(T)]
+    sig = StaticHeteroGraphTemporalSignal(ei, ew, feats, targs)
+    st = StackedHeteroSignal.from_signal(sig)
+    assert st.snapshot_count == T
+    assert st.x_dicts["a"].shape == (T, n_a, F)
+
+    from pytorch_geometric_temporal_tpu.ops import spmm_segment
+
+    def step(carry, xd, yd, graphs):
+        g = graphs[("a", "to", "b")]
+        agg = spmm_segment(g, xd["a"])
+        return carry + yd["b"].sum(), agg
+
+    total, aggs = st.scan(step, jnp.float32(0.0))
+    assert aggs.shape == (T, n_b, F)
+    want = sum(float(t["b"].sum()) for t in targs)
+    np.testing.assert_allclose(float(total), want, rtol=1e-5)
+    # per-step equivalence vs iterator path
+    for t, snap in enumerate(sig):
+        np.testing.assert_allclose(
+            aggs[t],
+            spmm_segment(snap.edge_graphs[("a", "to", "b")], snap.x_dict["a"]),
+            atol=1e-5,
+        )
