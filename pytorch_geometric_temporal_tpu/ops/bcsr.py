@@ -67,8 +67,13 @@ class BCSRMatrix:
     num_nodes: int  # original (unpadded)
 
     @staticmethod
-    def from_graph(graph: Graph, block: int = BLOCK) -> "BCSRMatrix":
-        """Host-side construction from a Graph (aggregation M[r,s] = w)."""
+    def from_graph(graph: Graph, block: int = BLOCK,
+                   dtype=None) -> "BCSRMatrix":
+        """Host-side construction from a Graph (aggregation M[r,s] = w).
+
+        ``dtype=jnp.bfloat16`` stores tiles in bf16 — halves HBM traffic for
+        the kernel (accumulation stays f32); default keeps f32 tiles.
+        """
         e = graph.num_edges
         s_all, r_all, w_all = graph.host_edges()
         s = np.asarray(s_all)[:e]
@@ -78,8 +83,8 @@ class BCSRMatrix:
             pass  # padding already excluded by the [:e] slice
         n = graph.num_nodes
         return BCSRMatrix(
-            fwd=_build_half(r, s, w, n, block),
-            bwd=_build_half(s, r, w, n, block),
+            fwd=_build_half(r, s, w, n, block, dtype),
+            bwd=_build_half(s, r, w, n, block, dtype),
             num_nodes=n,
         )
 
@@ -89,7 +94,7 @@ class BCSRMatrix:
         return self.fwd.nnzb / max(nb * (self.fwd.num_cols // BLOCK), 1)
 
 
-def _build_half(rows, cols, vals, n, block) -> _BCSRHalf:
+def _build_half(rows, cols, vals, n, block, dtype=None) -> _BCSRHalf:
     from ..native import bcsr_fill, bcsr_structure
 
     n_pad = _round_up(max(n, 1), block)
@@ -100,6 +105,8 @@ def _build_half(rows, cols, vals, n, block) -> _BCSRHalf:
     )
     nnzb = max(nnzb_real, 1)
     blocks = bcsr_fill(cols, rows, vals, block_of_edge, block, nnzb)
+    if dtype is not None:
+        blocks = blocks.astype(dtype)
     if nnzb_real == 0:
         block_rows = np.zeros((1,), np.int32)
         block_cols = np.zeros((1,), np.int32)
@@ -114,18 +121,29 @@ def _build_half(rows, cols, vals, n, block) -> _BCSRHalf:
 
 
 def _bcsr_matmul_pallas(half: _BCSRHalf, x: jnp.ndarray,
-                        interpret: bool = False) -> jnp.ndarray:
-    """out (num_rows, F) = Σ_blocks block @ x[col_block]; x: (num_cols, F)."""
+                        interpret: bool = False,
+                        f_tile: int = 512) -> jnp.ndarray:
+    """out (num_rows, F) = Σ_blocks block @ x[col_block]; x: (num_cols, F).
+
+    Grid: (F_tiles, nnzb) — F outermost so that, per F tile, the nonzero
+    blocks sweep in row-sorted order and the output tile stays VMEM-resident
+    across consecutive same-row steps (revisiting accumulation).  Wide
+    feature matrices are tiled at ``f_tile`` columns to bound VMEM.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     f = x.shape[-1]
     f_pad = _round_up(f, 128)
+    f_tile = min(_round_up(f_tile, 128), f_pad)
+    if f_pad % f_tile:
+        f_pad = _round_up(f_pad, f_tile)
     if f_pad != f:
         x = jnp.pad(x, ((0, 0), (0, f_pad - f)))
+    f_tiles = f_pad // f_tile
 
     def kernel(rows_ref, cols_ref, blocks_ref, x_ref, o_ref):
-        k = pl.program_id(0)
+        k = pl.program_id(1)
         prev = rows_ref[jnp.maximum(k - 1, 0)]
         is_first = jnp.logical_or(k == 0, rows_ref[k] != prev)
 
@@ -134,18 +152,21 @@ def _bcsr_matmul_pallas(half: _BCSRHalf, x: jnp.ndarray,
             o_ref[:] = jnp.zeros_like(o_ref)
 
         o_ref[:] += jnp.dot(
-            blocks_ref[0], x_ref[:], preferred_element_type=jnp.float32
+            blocks_ref[0].astype(jnp.float32), x_ref[:],
+            preferred_element_type=jnp.float32,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(half.nnzb,),
+        grid=(f_tiles, half.nnzb),
         in_specs=[
-            pl.BlockSpec((1, BLOCK, BLOCK), lambda k, rows, cols: (k, 0, 0)),
-            pl.BlockSpec((BLOCK, f_pad), lambda k, rows, cols: (cols[k], 0)),
+            pl.BlockSpec((1, BLOCK, BLOCK),
+                         lambda j, k, rows, cols: (k, 0, 0)),
+            pl.BlockSpec((BLOCK, f_tile),
+                         lambda j, k, rows, cols: (cols[k], j)),
         ],
         out_specs=pl.BlockSpec(
-            (BLOCK, f_pad), lambda k, rows, cols: (rows[k], 0)
+            (BLOCK, f_tile), lambda j, k, rows, cols: (rows[k], j)
         ),
     )
     out = pl.pallas_call(

@@ -72,3 +72,27 @@ def test_bcsr_density(rng):
     mat = BCSRMatrix.from_graph(g)
     assert 0 < mat.density <= 1.0
     assert mat.fwd.num_rows % 128 == 0
+
+
+def test_bcsr_pallas_f_tiling(rng):
+    """Wide feature matrix forces multiple F tiles; interpret-mode check."""
+    g = make_graph(rng, 300, 1500)
+    mat = BCSRMatrix.from_graph(g)
+    x = jnp.asarray(
+        rng.normal(size=(mat.fwd.num_cols, 700)).astype(np.float32)
+    )
+    want = _bcsr_matmul_xla_ref(mat, jnp.pad(x, ((0, 0), (0, 0))))
+    got = _bcsr_matmul_pallas(mat.fwd, x, interpret=True, f_tile=256)
+    np.testing.assert_allclose(got, want[:, :700], atol=1e-3)
+
+
+def test_bcsr_bf16_blocks(rng):
+    g = make_graph(rng, 100, 600)
+    mat32 = BCSRMatrix.from_graph(g)
+    mat16 = BCSRMatrix.from_graph(g, dtype=jnp.bfloat16)
+    assert mat16.fwd.blocks.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(100, 8)).astype(np.float32))
+    a = bcsr_spmm(mat32, x, use_pallas=False)
+    b = bcsr_spmm(mat16, x, use_pallas=False)
+    rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+    assert rel < 2e-2  # bf16 tile rounding
