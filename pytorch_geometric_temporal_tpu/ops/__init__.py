@@ -8,6 +8,7 @@ from .graph import (
     pad_graphs,
     stack_graphs,
 )
+from .bcsr import BCSRMatrix, bcsr_spmm
 from .spmm import sddmm, spmm, spmm_dense, spmm_segment
 
 __all__ = [
@@ -19,6 +20,8 @@ __all__ = [
     "laplacian",
     "pad_graphs",
     "stack_graphs",
+    "BCSRMatrix",
+    "bcsr_spmm",
     "sddmm",
     "spmm",
     "spmm_dense",

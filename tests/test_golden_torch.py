@@ -162,3 +162,50 @@ def test_tgcn_matches_torch(setup):
     htil = torch.tanh(dense("linear_h", torch.cat([conv("conv_h", x), ht * r], -1)))
     want = (z * ht + (1 - z) * htil).numpy()
     np.testing.assert_allclose(ours, want, atol=1e-4)
+
+
+def test_mixprop_matches_torch(rng):
+    from pytorch_geometric_temporal_tpu.models.attention import MixProp
+
+    B, N_, T_, C_ = 2, 9, 6, 4
+    x = rng.normal(size=(B, N_, T_, C_)).astype(np.float32)
+    a = rng.uniform(size=(N_, N_)).astype(np.float32)
+    m = MixProp(c_out=5, gdep=3, dropout=0.0, alpha=0.1)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(a))
+    ours = np.asarray(m.apply(params, jnp.asarray(x), jnp.asarray(a)))
+
+    # independent torch impl of reference mtgnn.py:84-102 in (B,N,T,C) layout
+    at = torch.as_tensor(a, dtype=torch.float64) + torch.eye(N_, dtype=torch.float64)
+    at = at / at.sum(1, keepdim=True)
+    h = torch.as_tensor(x, dtype=torch.float64)
+    outs = [h]
+    cur = h
+    for _ in range(3):
+        cur = 0.1 * h + 0.9 * torch.einsum("vw,bwtc->bvtc", at, cur)
+        outs.append(cur)
+    cat = torch.cat(outs, dim=-1)
+    w = torch.as_tensor(np.asarray(params["params"]["mlp"]["kernel"]),
+                        dtype=torch.float64)
+    b = torch.as_tensor(np.asarray(params["params"]["mlp"]["bias"]),
+                        dtype=torch.float64)
+    want = (cat @ w + b).numpy()
+    np.testing.assert_allclose(ours, want, atol=1e-4)
+
+
+def test_spatial_attention_matches_torch(rng):
+    from pytorch_geometric_temporal_tpu.models.attention import SpatialAttention
+
+    B, N_, F_, T_ = 2, 7, 3, 5
+    x = rng.normal(size=(B, N_, F_, T_)).astype(np.float32)
+    m = SpatialAttention(in_channels=F_, num_of_vertices=N_, num_of_timesteps=T_)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(m.apply(params, jnp.asarray(x)))
+
+    p = {k: torch.as_tensor(np.asarray(v), dtype=torch.float64)
+         for k, v in params["params"].items()}
+    xt = torch.as_tensor(x, dtype=torch.float64)
+    lhs = torch.matmul(torch.matmul(xt, p["W1"]), p["W2"])
+    rhs = torch.matmul(p["W3"], xt).transpose(-1, -2)
+    s = torch.matmul(p["Vs"], torch.sigmoid(torch.matmul(lhs, rhs) + p["bs"]))
+    want = torch.softmax(s, dim=1).numpy()
+    np.testing.assert_allclose(ours, want, atol=1e-5)

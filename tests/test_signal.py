@@ -264,3 +264,74 @@ def test_stacked_hetero_signal(rng):
             spmm_segment(snap.edge_graphs[("a", "to", "b")], snap.x_dict["a"]),
             atol=1e-5,
         )
+
+
+def test_dynamic_graph_static_signal_batch(rng):
+    from pytorch_geometric_temporal_tpu.signal import DynamicGraphStaticSignalBatch
+
+    eis = [np.unique(rng.integers(0, N, size=(2, 15)), axis=1) for _ in range(T)]
+    ews = [rng.uniform(size=e.shape[1]).astype(np.float32) for e in eis]
+    feat = rng.uniform(size=(N, F)).astype(np.float32)
+    targs = [rng.uniform(size=(N,)).astype(np.float32) for _ in range(T)]
+    batches = [rng.integers(0, 3, size=(N,)) for _ in range(T)]
+    sig = DynamicGraphStaticSignalBatch(eis, ews, feat, targs, batches)
+    for t, snap in enumerate(sig):
+        np.testing.assert_array_equal(snap.batch, batches[t])
+        np.testing.assert_allclose(snap.x, feat)
+    sub = sig[3:7]
+    assert sub.snapshot_count == 4
+    np.testing.assert_array_equal(sub[0].batch, batches[3])
+
+
+def test_hetero_batch_signals(rng):
+    from pytorch_geometric_temporal_tpu.signal import (
+        DynamicHeteroGraphStaticSignalBatch,
+        DynamicHeteroGraphTemporalSignalBatch,
+        StaticHeteroGraphTemporalSignalBatch,
+    )
+
+    n_a = 6
+    ei = {("a", "to", "a"): np.stack([rng.integers(0, n_a, 8),
+                                      rng.integers(0, n_a, 8)])}
+    ew = {("a", "to", "a"): rng.uniform(size=8).astype(np.float32)}
+    feats = [{"a": rng.uniform(size=(n_a, F)).astype(np.float32)}
+             for _ in range(T)]
+    targs = [{"a": rng.uniform(size=(n_a,)).astype(np.float32)}
+             for _ in range(T)]
+    batch = {"a": rng.integers(0, 2, size=(n_a,))}
+
+    sig = StaticHeteroGraphTemporalSignalBatch(ei, ew, feats, targs, batch)
+    snap = sig[0]
+    assert snap.batch_dict["a"].shape == (n_a,)
+    assert sig[2:5].snapshot_count == 3
+
+    eis = [ei for _ in range(T)]
+    ews = [ew for _ in range(T)]
+    batches = [{"a": rng.integers(0, 2, size=(n_a,))} for _ in range(T)]
+    sig2 = DynamicHeteroGraphTemporalSignalBatch(eis, ews, feats, targs, batches)
+    for t, snap in enumerate(sig2):
+        np.testing.assert_array_equal(snap.batch_dict["a"], batches[t]["a"])
+
+    feat = {"a": rng.uniform(size=(n_a, F)).astype(np.float32)}
+    sig3 = DynamicHeteroGraphStaticSignalBatch(eis, ews, feat, targs, batches)
+    snap = sig3[1]
+    np.testing.assert_allclose(snap.x_dict["a"], feat["a"])
+    assert sig3[0:4].snapshot_count == 4
+
+
+def test_hetero_static_signal(rng):
+    from pytorch_geometric_temporal_tpu.signal import DynamicHeteroGraphStaticSignal
+
+    n_a = 5
+    eis = [{("a", "to", "a"): np.stack([rng.integers(0, n_a, 6),
+                                        rng.integers(0, n_a, 6)])}
+           for _ in range(T)]
+    ews = [{("a", "to", "a"): rng.uniform(size=6).astype(np.float32)}
+           for _ in range(T)]
+    feat = {"a": rng.uniform(size=(n_a, F)).astype(np.float32)}
+    targs = [{"a": rng.uniform(size=(n_a,)).astype(np.float32)}
+             for _ in range(T)]
+    sig = DynamicHeteroGraphStaticSignal(eis, ews, feat, targs)
+    for snap in sig:
+        np.testing.assert_allclose(snap.x_dict["a"], feat["a"])
+    assert sig[1:3].snapshot_count == 2
