@@ -8,7 +8,7 @@ Factors out the pattern repeated across all 19 reference loaders
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

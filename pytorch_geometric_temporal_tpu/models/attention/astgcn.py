@@ -22,7 +22,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import flax.linen as nn
 import jax

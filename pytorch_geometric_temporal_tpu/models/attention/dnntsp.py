@@ -9,7 +9,7 @@ prints (`:69,115`).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ norm runs over the feature axis with stats across (B, T, N).  Pass
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Union
+from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -10,10 +10,7 @@ last (B, T, V, C) for TPU-friendly convs.
 
 from __future__ import annotations
 
-import dataclasses
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

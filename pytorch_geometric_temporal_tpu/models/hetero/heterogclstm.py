@@ -12,7 +12,7 @@ on the inputs.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ when ``lstm_num_layers == 1``, matching the reference's squeezed returns.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

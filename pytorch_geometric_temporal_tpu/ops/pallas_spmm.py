@@ -15,10 +15,7 @@ on traced arrays.
 
 from __future__ import annotations
 
-from typing import Optional
 
-import jax
-import jax.numpy as jnp
 
 from .graph import Graph
 

@@ -12,7 +12,7 @@ within one host/slice a single sharded batch covers all chips.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import optax

@@ -16,12 +16,12 @@ TPU notes:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 
 from ..ops.graph import Graph
-from .snapshot import HeteroSnapshot, Snapshot, convert_array
+from .snapshot import Snapshot, convert_array
 
 
 class BaseSignal:

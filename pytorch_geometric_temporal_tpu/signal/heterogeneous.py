@@ -16,7 +16,7 @@ Emits :class:`~.snapshot.HeteroSnapshot` with per-edge-type bipartite
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

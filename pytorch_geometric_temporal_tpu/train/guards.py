@@ -7,9 +7,8 @@ and a divergence guard that restores the last good checkpoint.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
-import jax
 import jax.numpy as jnp
 
 

@@ -17,7 +17,7 @@ protocols are first-class, fully fused, device-resident steps:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
