@@ -79,6 +79,17 @@ def spmm(
             (e.g. attention-scaled norms).  Padding is masked internally.
         backend: 'dense' | 'segment' | 'pallas' | None (auto).
     """
+    from .bcsr import BCSRMatrix
+
+    if isinstance(graph, BCSRMatrix):
+        from .bcsr import bcsr_spmm
+
+        if weights is not None:
+            raise ValueError(
+                "weight override is not supported for prebuilt BCSRMatrix "
+                "operators (weights are baked into the tiles)"
+            )
+        return bcsr_spmm(graph, x)
     b = _resolve_backend(graph, backend)
     if b == "dense":
         return spmm_dense(graph, x, weights)
