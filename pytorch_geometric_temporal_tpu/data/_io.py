@@ -20,10 +20,19 @@ from pathlib import Path
 from typing import List, Optional
 
 _BUNDLED = Path("/root/reference/dataset")
+_EXTRA_PATHS: List[Path] = []
+
+
+def add_search_path(directory) -> None:
+    """Register an additional directory to resolve dataset files from
+    (highest priority; e.g. a loader's ``raw_data_dir`` argument)."""
+    p = Path(directory)
+    if p not in _EXTRA_PATHS:
+        _EXTRA_PATHS.insert(0, p)
 
 
 def data_search_paths() -> List[Path]:
-    paths = []
+    paths = list(_EXTRA_PATHS)
     env = os.environ.get("PGT_TPU_DATA")
     if env:
         paths.append(Path(env))

@@ -31,13 +31,11 @@ class METRLADatasetLoader:
     _url = _URL
 
     def __init__(self, raw_data_dir=None, index: bool = False):
-        # raw_data_dir kept for API parity; resolution goes through the
-        # data search path (see data/_io.py)
         self.index = index
-        import os
-
         if raw_data_dir:
-            os.environ.setdefault("PGT_TPU_DATA", raw_data_dir)
+            from ._io import add_search_path
+
+            add_search_path(raw_data_dir)
         self.A = np.load(io.BytesIO(fetch_zipped(self._zip, self._url, self._adj)))
         self._X_raw = np.load(
             io.BytesIO(fetch_zipped(self._zip, self._url, self._values))

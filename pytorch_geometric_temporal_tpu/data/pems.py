@@ -49,10 +49,10 @@ class PemsDatasetLoader:
                 "The PeMS dataset does not support batching without the "
                 "index-method"
             )
-        import os
-
         if raw_data_dir:
-            os.environ.setdefault("PGT_TPU_DATA", raw_data_dir)
+            from ._io import add_search_path
+
+            add_search_path(raw_data_dir)
         self.index = index
 
     def get_index_dataset(self, lags: int = 12, batch_size: int = 64,
