@@ -163,6 +163,68 @@ def test_partitioned_spmm_scatter_grad(rng):
     np.testing.assert_allclose(np.asarray(gs)[:n], gr, atol=1e-4)
 
 
+@pytest.mark.parametrize("num_parts", [2, 4, 8])
+def test_partitioned_spmm_halo_exchange(rng, num_parts):
+    """all_to_all boundary-row halo variant == segment-sum oracle."""
+    n = 43  # not divisible by num_parts
+    g = make_graph(rng, n, 170)
+    x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    want = spmm_segment(g, x)
+    mesh = make_mesh({"graph": num_parts})
+    pg = PartitionedGraph.from_graph(g, num_parts, by="halo")
+    assert pg.halo_size <= pg.nodes_per_part  # halo never exceeds a block
+    xs = pg.shard_features(x, mesh)
+    out = spmm_partitioned(pg, xs, mesh, exchange="halo")
+    np.testing.assert_allclose(np.asarray(out)[:n], want, atol=1e-5)
+    assert np.all(np.asarray(out)[n:] == 0)
+
+
+def test_partitioned_spmm_halo_grad(rng):
+    n = 16
+    g = make_graph(rng, n, 60)
+    x = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    mesh = make_mesh({"graph": 4})
+    pg = PartitionedGraph.from_graph(g, 4, by="halo")
+
+    def f_sharded(xp):
+        return (spmm_partitioned(pg, xp, mesh, exchange="halo") ** 2).sum()
+
+    def f_ref(x_):
+        return (spmm_segment(g, x_) ** 2).sum()
+
+    gs = jax.grad(f_sharded)(pg.pad_features(x))
+    gr = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(gs)[:n], gr, atol=1e-4)
+
+
+def test_halo_locality_shrinks_exchange(rng):
+    """On a block-local graph (edges only within node blocks ± boundary),
+    the halo buffer is far smaller than the full feature matrix."""
+    n, parts = 64, 8
+    blk = n // parts
+    # ring-of-blocks: each node connects within its block plus one
+    # boundary edge into the next block
+    src, dst = [], []
+    for b in range(parts):
+        lo = b * blk
+        for i in range(blk):
+            src.append(lo + i)
+            dst.append(lo + (i + 1) % blk)
+        src.append(lo + blk - 1)
+        dst.append((lo + blk) % n)
+    ei = np.stack([np.array(src), np.array(dst)])
+    g = Graph.from_edge_index(ei, np.ones(ei.shape[1], np.float32), num_nodes=n)
+    pg = PartitionedGraph.from_graph(g, parts, by="halo")
+    # each part only needs 1 remote row (from the previous block)
+    assert pg.halo_size <= blk  # much less than all_gather's full N rows
+    x = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    mesh = make_mesh({"graph": parts})
+    out = spmm_partitioned(pg, pg.shard_features(x, mesh), mesh,
+                           exchange="halo")
+    np.testing.assert_allclose(np.asarray(out)[:n], spmm_segment(g, x),
+                               atol=1e-5)
+
+
 def test_partitioned_exchange_validation(rng):
     g = make_graph(rng, 16, 40)
     mesh = make_mesh({"graph": 4})
@@ -173,5 +235,9 @@ def test_partitioned_exchange_validation(rng):
         spmm_partitioned(pg_r, x, mesh, exchange="scatter")
     with pytest.raises(ValueError):
         spmm_partitioned(pg_s, x, mesh, exchange="gather")
+    with pytest.raises(ValueError):
+        spmm_partitioned(pg_r, x, mesh, exchange="halo")
+    with pytest.raises(ValueError):
+        spmm_partitioned(pg_r, x, mesh, exchange="bogus")
     with pytest.raises(ValueError):
         PartitionedGraph.from_graph(g, 4, by="bogus")
