@@ -9,6 +9,7 @@ from .losses import (
     rmse,
 )
 from .scaler import ZScoreScaler
+from .state import CheckpointManager, TrainState, apply_gradients
 from .trainer import BatchTrainer, SnapshotTrainer
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "mae", "mape", "masked_mae_loss", "masked_mse_loss", "mse", "rmse",
     "ZScoreScaler", "BatchTrainer", "SnapshotTrainer",
     "DivergenceGuard", "loss_is_finite",
+    "CheckpointManager", "TrainState", "apply_gradients",
 ]

@@ -145,3 +145,50 @@ def test_checkpoint_roundtrip(tmp_path):
     assert latest_step(str(tmp_path / "ckpt")) == 3
     restored = restore_checkpoint(str(tmp_path / "ckpt"), step=3, template=state)
     np.testing.assert_allclose(restored["w"], state["w"])
+
+
+def test_train_state_and_checkpoint_manager(tmp_path):
+    """TrainState update + async CheckpointManager save/restore/retention."""
+    from pytorch_geometric_temporal_tpu.train import (
+        CheckpointManager,
+        TrainState,
+        apply_gradients,
+    )
+
+    opt = optax.adam(1e-2)
+    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}
+    state = TrainState.create(params, opt)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)),
+                    dtype=jnp.float32)
+
+    @jax.jit
+    def step(st):
+        def loss(p):
+            return jnp.mean((x @ p["w"] + p["b"]) ** 2)
+
+        l, grads = jax.value_and_grad(loss)(st.params)
+        return apply_gradients(st, grads, opt), l
+
+    losses = []
+    with CheckpointManager(str(tmp_path / "run"), max_to_keep=2) as mgr:
+        for _ in range(4):
+            state, l = step(state)
+            losses.append(float(l))
+            mgr.save(int(state.step), state)
+        mgr.wait()
+        assert losses[-1] < losses[0]
+        assert mgr.latest_step() == 4
+        # retention kept only the last two
+        assert list(mgr.all_steps()) == [3, 4]
+
+        # resume: restore latest into a fresh template
+        fresh = TrainState.create(params, opt)
+        restored = mgr.restore(template=fresh)
+        assert int(restored.step) == 4
+        for a, b in zip(jax.tree_util.tree_leaves(restored),
+                        jax.tree_util.tree_leaves(state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # empty directory → None
+    with CheckpointManager(str(tmp_path / "empty")) as mgr2:
+        assert mgr2.restore(template=state) is None
