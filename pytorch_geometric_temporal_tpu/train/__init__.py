@@ -8,6 +8,15 @@ from .losses import (
     mse,
     rmse,
 )
+from .precision import (
+    DynamicLossScale,
+    Policy,
+    all_finite,
+    bf16_policy,
+    f16_policy,
+    f32_policy,
+    make_mixed_precision_step,
+)
 from .scaler import ZScoreScaler
 from .state import CheckpointManager, TrainState, apply_gradients
 from .trainer import BatchTrainer, SnapshotTrainer
@@ -18,4 +27,6 @@ __all__ = [
     "ZScoreScaler", "BatchTrainer", "SnapshotTrainer",
     "DivergenceGuard", "loss_is_finite",
     "CheckpointManager", "TrainState", "apply_gradients",
+    "DynamicLossScale", "Policy", "all_finite", "bf16_policy",
+    "f16_policy", "f32_policy", "make_mixed_precision_step",
 ]

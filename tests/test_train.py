@@ -192,3 +192,76 @@ def test_train_state_and_checkpoint_manager(tmp_path):
     # empty directory → None
     with CheckpointManager(str(tmp_path / "empty")) as mgr2:
         assert mgr2.restore(template=state) is None
+
+
+def test_bf16_mixed_precision_step(rng):
+    """bf16 policy: f32 master params, bf16 compute, loss decreases."""
+    from pytorch_geometric_temporal_tpu.models import DCRNNSeq
+    from pytorch_geometric_temporal_tpu.ops import Graph
+    from pytorch_geometric_temporal_tpu.train import (
+        TrainState,
+        bf16_policy,
+        make_mixed_precision_step,
+    )
+
+    B, T, N, F = 4, 3, 12, 2
+    ei = np.unique(rng.integers(0, N, size=(2, 40)), axis=1)
+    g = Graph.from_edge_index(ei, np.ones(ei.shape[1], np.float32), N)
+    x = jnp.asarray(rng.normal(size=(B, T, N, F)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(B, T, N, F)).astype(np.float32))
+
+    model = DCRNNSeq(out_channels=F, K=2)
+    params = model.init(jax.random.PRNGKey(0), x, g)
+    opt = optax.adam(1e-2)
+    state = TrainState.create(params, opt)
+
+    def loss_fn(p, xb, yb, graph):
+        pred = model.apply(p, xb, graph)
+        # model computes in bf16 (inputs cast by the policy)
+        assert pred.dtype == jnp.bfloat16
+        return jnp.mean((pred - yb.astype(pred.dtype)) ** 2)
+
+    step = jax.jit(make_mixed_precision_step(loss_fn, opt, bf16_policy))
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, x, y, g)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # master params stayed f32
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+
+
+def test_f16_dynamic_loss_scale_skips_overflow():
+    from pytorch_geometric_temporal_tpu.train import (
+        DynamicLossScale,
+        TrainState,
+        f16_policy,
+        make_mixed_precision_step,
+    )
+
+    opt = optax.sgd(0.1)
+    params = {"w": jnp.float32(1.0)}
+    state = TrainState.create(params, opt)
+    scale = DynamicLossScale(scale=jnp.float32(2.0**15), growth_interval=2)
+
+    big = jnp.float32(1.0)
+
+    def loss_fn(p, k):
+        # k huge -> f16 grads overflow; k small -> clean step
+        return p["w"] * k
+
+    step = jax.jit(
+        make_mixed_precision_step(loss_fn, opt, f16_policy, dynamic_scale=True)
+    )
+
+    # overflow step: scaled loss 2^15 * 1e9 overflows f16 grad
+    state2, scale2, _ = step(state, scale, jnp.float32(1e9))
+    assert float(state2.params["w"]) == float(state.params["w"])  # skipped
+    assert float(scale2.scale) == float(scale.scale) * 0.5
+
+    # clean steps: update applies, counter grows then scale doubles
+    state3, scale3, _ = step(state2, scale2, big)
+    assert float(state3.params["w"]) != float(state2.params["w"])
+    state4, scale4, _ = step(state3, scale3, big)
+    assert float(scale4.scale) == float(scale2.scale) * 2.0
