@@ -40,8 +40,18 @@ def cheb_basis(graph: Graph, x: jnp.ndarray, K: int,
     L̂ = 2L/λ_max − I (PyG ``ChebConv.__norm__`` semantics; reference call
     sites: ``nn/recurrent/gconv_gru.py:55-112``).
     Returns (..., N, K·F).
+
+    ``graph`` may also be a :class:`~..ops.operators.Prenormalized` wrapper
+    (from :func:`~..ops.operators.prenormalize_cheb`): the in-trace norm
+    rebuild is skipped and the wrapped operator (Graph or BCSRMatrix) is
+    applied directly — the large-graph path.
     """
-    lhat = cheb_norm(graph, normalization, lambda_max)
+    from ..ops.operators import Prenormalized
+
+    if isinstance(graph, Prenormalized):
+        lhat = graph.op
+    else:
+        lhat = cheb_norm(graph, normalization, lambda_max)
     tx = [x]
     if K > 1:
         tx.append(spmm(lhat, x))

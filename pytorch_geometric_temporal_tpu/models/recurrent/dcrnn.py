@@ -41,8 +41,17 @@ def diffusion_basis(graph: Graph, x: jnp.ndarray, K: int) -> jnp.ndarray:
     Layout: [T_0^f ... T_{K-1}^f | T_0^b ... T_{K-1}^b] with T_0 = X,
     T_1 = P X, T_k = 2 P T_{k-1} − T_{k-2} (mirrors the reference recurrence
     at ``dcrnn.py:79-106`` including T_0 appearing in both directions).
+
+    ``graph`` may also be a prebuilt
+    :class:`~...ops.operators.DiffusionOperators` (host-normalized once,
+    optionally BCSR) — the large-graph path; the in-trace norm is skipped.
     """
-    p_fwd, p_bwd = diffusion_norms(graph)
+    from ...ops.operators import DiffusionOperators
+
+    if isinstance(graph, DiffusionOperators):
+        p_fwd, p_bwd = graph.p_fwd, graph.p_bwd
+    else:
+        p_fwd, p_bwd = diffusion_norms(graph)
     out = []
     for p in (p_fwd, p_bwd):
         tx = [x]

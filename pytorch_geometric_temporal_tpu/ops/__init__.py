@@ -9,6 +9,15 @@ from .graph import (
     stack_graphs,
 )
 from .bcsr import BCSRMatrix, bcsr_spmm
+from .operators import (
+    DiffusionOperators,
+    Prenormalized,
+    host_cheb_norm,
+    host_diffusion_norms,
+    host_gcn_norm,
+    prenormalize_cheb,
+    prenormalize_gcn,
+)
 from .spmm import sddmm, spmm, spmm_dense, spmm_segment
 
 __all__ = [
@@ -22,6 +31,13 @@ __all__ = [
     "stack_graphs",
     "BCSRMatrix",
     "bcsr_spmm",
+    "DiffusionOperators",
+    "Prenormalized",
+    "host_cheb_norm",
+    "host_diffusion_norms",
+    "host_gcn_norm",
+    "prenormalize_cheb",
+    "prenormalize_gcn",
     "sddmm",
     "spmm",
     "spmm_dense",

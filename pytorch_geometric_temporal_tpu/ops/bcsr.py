@@ -40,17 +40,31 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["blocks", "block_rows", "block_cols"],
-    meta_fields=["num_rows", "num_cols", "nnzb"],
+    data_fields=["blocks", "block_rows", "block_cols",
+                 "rem_rows", "rem_cols", "rem_vals"],
+    meta_fields=["num_rows", "num_cols", "nnzb", "num_rem"],
 )
 @dataclasses.dataclass(frozen=True)
 class _BCSRHalf:
+    """One direction of the hybrid block-sparse operator.
+
+    Blocks with at least ``min_block_edges`` edges are stored dense (the
+    MXU path); edges landing in sparser blocks spill to a COO *remainder*
+    handled by gather+segment-sum.  Without the split, a handful of
+    long-range edges each allocate a whole 128×128 tile and block HBM
+    traffic dwarfs the useful bytes (0.6% in-tile occupancy measured on a
+    clustered 50k/2M graph with 1% random edges)."""
+
     blocks: jnp.ndarray      # (nnzb, BLOCK, BLOCK) dense nonzero tiles
     block_rows: jnp.ndarray  # (nnzb,) int32, sorted ascending
     block_cols: jnp.ndarray  # (nnzb,) int32
+    rem_rows: jnp.ndarray    # (num_rem,) int32 remainder COO
+    rem_cols: jnp.ndarray    # (num_rem,) int32
+    rem_vals: jnp.ndarray    # (num_rem,) f32
     num_rows: int            # padded row count (multiple of BLOCK)
     num_cols: int
     nnzb: int
+    num_rem: int
 
 
 @partial(
@@ -67,24 +81,27 @@ class BCSRMatrix:
     num_nodes: int  # original (unpadded)
 
     @staticmethod
-    def from_graph(graph: Graph, block: int = BLOCK,
-                   dtype=None) -> "BCSRMatrix":
+    def from_graph(graph: Graph, block: int = BLOCK, dtype=None,
+                   min_block_edges: int = 32) -> "BCSRMatrix":
         """Host-side construction from a Graph (aggregation M[r,s] = w).
 
         ``dtype=jnp.bfloat16`` stores tiles in bf16 — halves HBM traffic for
         the kernel (accumulation stays f32); default keeps f32 tiles.
+
+        ``min_block_edges``: blocks with fewer edges spill their edges to
+        the COO remainder path instead of materializing a dense tile.  The
+        break-even is ~10 edges per tile (tile+feature-tile HBM cost vs
+        per-edge gather cost); 32 leaves margin.  0 disables the split.
         """
         e = graph.num_edges
         s_all, r_all, w_all = graph.host_edges()
         s = np.asarray(s_all)[:e]
         r = np.asarray(r_all)[:e]
         w = np.asarray(w_all)[:e].copy()
-        if e < len(s_all):
-            pass  # padding already excluded by the [:e] slice
         n = graph.num_nodes
         return BCSRMatrix(
-            fwd=_build_half(r, s, w, n, block, dtype),
-            bwd=_build_half(s, r, w, n, block, dtype),
+            fwd=_build_half(r, s, w, n, block, dtype, min_block_edges),
+            bwd=_build_half(s, r, w, n, block, dtype, min_block_edges),
             num_nodes=n,
         )
 
@@ -94,7 +111,8 @@ class BCSRMatrix:
         return self.fwd.nnzb / max(nb * (self.fwd.num_cols // BLOCK), 1)
 
 
-def _build_half(rows, cols, vals, n, block, dtype=None) -> _BCSRHalf:
+def _build_half(rows, cols, vals, n, block, dtype=None,
+                min_block_edges: int = 0) -> _BCSRHalf:
     from ..native import bcsr_fill, bcsr_structure
 
     n_pad = _round_up(max(n, 1), block)
@@ -103,7 +121,32 @@ def _build_half(rows, cols, vals, n, block, dtype=None) -> _BCSRHalf:
     nnzb_real, block_of_edge, block_rows, block_cols = bcsr_structure(
         cols, rows, block, grid_cols
     )
+
+    rem_rows = np.zeros((1,), np.int32)
+    rem_cols = np.zeros((1,), np.int32)
+    rem_vals = np.zeros((1,), np.float32)
+    num_rem = 0
+    if min_block_edges > 1 and nnzb_real > 0:
+        cnt = np.bincount(block_of_edge, minlength=nnzb_real)
+        edge_is_sparse = (cnt < min_block_edges)[block_of_edge]
+        num_rem = int(edge_is_sparse.sum())
+        if num_rem:
+            rem_rows = rows[edge_is_sparse].astype(np.int32)
+            rem_cols = cols[edge_is_sparse].astype(np.int32)
+            rem_vals = vals[edge_is_sparse].astype(np.float32)
+            keep = ~edge_is_sparse
+            rows, cols, vals = rows[keep], cols[keep], vals[keep]
+            nnzb_real, block_of_edge, block_rows, block_cols = (
+                bcsr_structure(cols, rows, block, grid_cols)
+            )
+
     nnzb = max(nnzb_real, 1)
+    if nnzb_real == 0:
+        # all edges spilled (or empty graph): keep one all-zero placeholder
+        # tile at (0, 0) so blocks/block_rows/block_cols shapes stay
+        # consistent (contributes nothing).
+        block_rows = np.zeros((1,), np.int32)
+        block_cols = np.zeros((1,), np.int32)
     blocks = bcsr_fill(cols, rows, vals, block_of_edge, block, nnzb)
     if dtype is not None:
         blocks = blocks.astype(dtype)
@@ -114,9 +157,13 @@ def _build_half(rows, cols, vals, n, block, dtype=None) -> _BCSRHalf:
         blocks=jnp.asarray(blocks),
         block_rows=jnp.asarray(block_rows),
         block_cols=jnp.asarray(block_cols),
+        rem_rows=jnp.asarray(rem_rows),
+        rem_cols=jnp.asarray(rem_cols),
+        rem_vals=jnp.asarray(rem_vals),
         num_rows=n_pad,
         num_cols=n_pad,
         nnzb=nnzb,
+        num_rem=num_rem,
     )
 
 
@@ -141,6 +188,10 @@ def _bcsr_matmul_pallas(half: _BCSRHalf, x: jnp.ndarray,
     if f_pad != f:
         x = jnp.pad(x, ((0, 0), (0, f_pad - f)))
     f_tiles = f_pad // f_tile
+    if half.blocks.dtype == jnp.bfloat16:
+        # bf16 tiles ⇒ stream bf16 feature tiles too (halves x traffic);
+        # the MXU multiplies bf16×bf16 natively, accumulation stays f32.
+        x = x.astype(jnp.bfloat16)
 
     def kernel(rows_ref, cols_ref, blocks_ref, x_ref, o_ref):
         k = pl.program_id(1)
@@ -152,7 +203,7 @@ def _bcsr_matmul_pallas(half: _BCSRHalf, x: jnp.ndarray,
             o_ref[:] = jnp.zeros_like(o_ref)
 
         o_ref[:] += jnp.dot(
-            blocks_ref[0].astype(jnp.float32), x_ref[:],
+            blocks_ref[0], x_ref[:],
             preferred_element_type=jnp.float32,
         )
 
@@ -175,34 +226,74 @@ def _bcsr_matmul_pallas(half: _BCSRHalf, x: jnp.ndarray,
         grid_spec=grid_spec,
         interpret=interpret,
     )(half.block_rows, half.block_cols, half.blocks, x)
+    # Row blocks no tile ever visits are UNDEFINED memory (the kernel only
+    # zero-inits on first visit) — common under the hybrid split where most
+    # rows live in the COO remainder.  Select-zero them (where, not multiply:
+    # the garbage can be NaN).
+    nb = half.num_rows // BLOCK
+    covered = jnp.zeros((nb,), jnp.bool_).at[half.block_rows].set(True)
+    out = jnp.where(jnp.repeat(covered, BLOCK)[:, None], out, 0.0)
     return out[:, :f]
+
+
+def _remainder(half: _BCSRHalf, x: jnp.ndarray) -> Optional[jnp.ndarray]:
+    """COO remainder: edges from sub-threshold blocks (None when empty)."""
+    if half.num_rem == 0:
+        return None
+    msgs = x[half.rem_cols].astype(jnp.float32) * half.rem_vals[:, None]
+    return jax.ops.segment_sum(msgs, half.rem_rows,
+                               num_segments=half.num_rows)
 
 
 def _bcsr_matmul_xla(half: _BCSRHalf, x: jnp.ndarray) -> jnp.ndarray:
     """Reference XLA implementation (gather + einsum + segment-sum)."""
     xg = x.reshape(half.num_cols // BLOCK, BLOCK, -1)[half.block_cols]
-    prod = jnp.einsum("kab,kbf->kaf", half.blocks, xg)
+    prod = jnp.einsum("kab,kbf->kaf", half.blocks, xg,
+                      preferred_element_type=jnp.float32)
     out = jax.ops.segment_sum(
         prod, half.block_rows, num_segments=half.num_rows // BLOCK
-    )
-    return out.reshape(half.num_rows, -1)
+    ).reshape(half.num_rows, -1)
+    rem = _remainder(half, x)
+    return out if rem is None else out + rem
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 2))
+def _zero_cotangent(tree):
+    """Zero cotangents matching ``tree``: float0 for integer leaves (JAX's
+    required tangent dtype for ints), zeros for float leaves (DCE'd under
+    jit since nothing consumes them)."""
+
+    def leaf(a):
+        if jnp.issubdtype(a.dtype, jnp.inexact):
+            return jnp.zeros_like(a)
+        return np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+# mat is a REGULAR pytree argument (zero cotangent), not nondiff_argnums:
+# this keeps BCSRMatrix passable through jit/pjit as data — essential both
+# for compile-payload size (blocks would otherwise be baked into the HLO as
+# constants) and for trainers that thread operators as step arguments.
+def _matmul_half(half: _BCSRHalf, x_pad: jnp.ndarray, use_pallas: bool):
+    if not use_pallas:
+        return _bcsr_matmul_xla(half, x_pad)
+    out = _bcsr_matmul_pallas(half, x_pad)
+    rem = _remainder(half, x_pad)
+    return out if rem is None else out + rem
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _bcsr_spmm_padded(mat: BCSRMatrix, x_pad: jnp.ndarray, use_pallas: bool):
-    if use_pallas:
-        return _bcsr_matmul_pallas(mat.fwd, x_pad)
-    return _bcsr_matmul_xla(mat.fwd, x_pad)
+    return _matmul_half(mat.fwd, x_pad, use_pallas)
 
 
 def _fwd(mat, x_pad, use_pallas):
-    return _bcsr_spmm_padded(mat, x_pad, use_pallas), None
+    return _bcsr_spmm_padded(mat, x_pad, use_pallas), mat
 
 
-def _bwd(mat, use_pallas, _, g):
-    if use_pallas:
-        return (_bcsr_matmul_pallas(mat.bwd, g),)
-    return (_bcsr_matmul_xla(mat.bwd, g),)
+def _bwd(use_pallas, mat, g):
+    gx = _matmul_half(mat.bwd, g, use_pallas)
+    return (_zero_cotangent(mat), gx)
 
 
 _bcsr_spmm_padded.defvjp(_fwd, _bwd)

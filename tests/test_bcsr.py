@@ -75,15 +75,62 @@ def test_bcsr_density(rng):
 
 
 def test_bcsr_pallas_f_tiling(rng):
-    """Wide feature matrix forces multiple F tiles; interpret-mode check."""
+    """Wide feature matrix forces multiple F tiles; interpret-mode check.
+
+    min_block_edges=0 so ALL edges land in dense tiles — this compares the
+    raw kernel (no COO remainder) against the block einsum."""
     g = make_graph(rng, 300, 1500)
-    mat = BCSRMatrix.from_graph(g)
+    mat = BCSRMatrix.from_graph(g, min_block_edges=0)
     x = jnp.asarray(
         rng.normal(size=(mat.fwd.num_cols, 700)).astype(np.float32)
     )
     want = _bcsr_matmul_xla_ref(mat, jnp.pad(x, ((0, 0), (0, 0))))
     got = _bcsr_matmul_pallas(mat.fwd, x, interpret=True, f_tile=256)
     np.testing.assert_allclose(got, want[:, :700], atol=1e-3)
+
+
+def test_bcsr_hybrid_split(rng):
+    """Default threshold spills sparse-block edges to the COO remainder;
+    result still matches the segment oracle, and fewer tiles materialize."""
+    g = make_graph(rng, 2000, 4000)  # sparse random graph → sparse blocks
+    mat_all = BCSRMatrix.from_graph(g, min_block_edges=0)
+    mat_hyb = BCSRMatrix.from_graph(g)  # default threshold 32
+    assert mat_hyb.fwd.num_rem > 0
+    assert mat_hyb.fwd.nnzb < mat_all.fwd.nnzb
+    x = jnp.asarray(rng.normal(size=(2000, 6)).astype(np.float32))
+    want = spmm_segment(g, x)
+    np.testing.assert_allclose(bcsr_spmm(mat_hyb, x, use_pallas=False),
+                               want, atol=1e-4)
+
+    # gradients flow through both the block and remainder paths
+    def f(x_):
+        return (bcsr_spmm(mat_hyb, x_, use_pallas=False) ** 2).sum()
+
+    def f_ref(x_):
+        return (spmm_segment(g, x_) ** 2).sum()
+
+    np.testing.assert_allclose(jax.grad(f)(x), jax.grad(f_ref)(x), atol=1e-3)
+
+
+def test_bcsr_matrix_as_jit_argument(rng):
+    """BCSRMatrix must pass through jit as a pytree ARGUMENT (not closure):
+    closure constants bake GB-scale blocks into the HLO."""
+    g = make_graph(rng, 200, 1200)
+    mat = BCSRMatrix.from_graph(g)
+    x = jnp.asarray(rng.normal(size=(200, 5)).astype(np.float32))
+
+    @jax.jit
+    def apply(m, xx):
+        return bcsr_spmm(m, xx, use_pallas=False)
+
+    np.testing.assert_allclose(apply(mat, x), spmm_segment(g, x), atol=1e-4)
+
+    @jax.jit
+    def grad_through(m, xx):
+        return jax.grad(lambda x_: (bcsr_spmm(m, x_, use_pallas=False) ** 2).sum())(xx)
+
+    g_ref = jax.grad(lambda x_: (spmm_segment(g, x_) ** 2).sum())(x)
+    np.testing.assert_allclose(grad_through(mat, x), g_ref, atol=1e-3)
 
 
 def test_bcsr_bf16_blocks(rng):
@@ -96,3 +143,39 @@ def test_bcsr_bf16_blocks(rng):
     b = bcsr_spmm(mat16, x, use_pallas=False)
     rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
     assert rel < 2e-2  # bf16 tile rounding
+
+
+def test_bcsr_uncovered_rows_masked(rng):
+    """Row blocks never visited by a tile must come back ZERO from the
+    pallas path (the kernel only zero-inits tiles it visits; uncovered ones
+    are undefined memory on real TPU — regression for the hybrid split
+    where most rows live in the remainder)."""
+    # single edge -> one tile; all other row blocks uncovered
+    g = Graph.from_edge_index(
+        np.array([[700], [700]]), np.array([2.0], np.float32), num_nodes=900
+    )
+    mat = BCSRMatrix.from_graph(g, min_block_edges=0)
+    x = jnp.asarray(rng.normal(size=(mat.fwd.num_cols, 8)).astype(np.float32))
+    out = _bcsr_matmul_pallas(mat.fwd, x, interpret=True)
+    want = np.zeros((mat.fwd.num_rows, 8), np.float32)
+    want[700] = 2.0 * np.asarray(x)[700]
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_bcsr_all_spill(rng):
+    """min_block_edges above every block count spills ALL edges: nnzb
+    collapses to the (0,0) placeholder tile and the result is pure COO."""
+    g = make_graph(rng, 500, 900)
+    mat = BCSRMatrix.from_graph(g, min_block_edges=10**6)
+    assert mat.fwd.nnzb == 1 and mat.fwd.num_rem == g.num_edges
+    assert mat.fwd.block_rows.shape == (1,) and mat.fwd.block_cols.shape == (1,)
+    x = jnp.asarray(rng.normal(size=(500, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        bcsr_spmm(mat, x, use_pallas=False), spmm_segment(g, x), atol=1e-4
+    )
+
+    def f(x_):
+        return (bcsr_spmm(mat, x_, use_pallas=False) ** 2).sum()
+
+    g_ref = jax.grad(lambda x_: (spmm_segment(g, x_) ** 2).sum())(x)
+    np.testing.assert_allclose(jax.grad(f)(x), g_ref, atol=1e-3)
