@@ -28,7 +28,7 @@ from .snapshot import convert_array
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["features", "targets", "senders", "receivers", "weights",
-                 "additional"],
+                 "additional", "batches"],
     meta_fields=["num_nodes", "num_edges", "graph_dynamic"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -40,6 +40,9 @@ class StackedSignal:
     senders/receivers/weights: (E,) when the graph is static, (T, E) when
         dynamic (padded to a common E).
     additional: dict of (T, ...) stacked extra features.
+    batches: node→graph assignment from the *Batch signal variants — (N,)
+        for a static graph, (T, N) when dynamic; None for plain signals.
+        When present, ``scan``'s step receives it as a 5th argument.
     """
 
     features: jnp.ndarray
@@ -51,6 +54,7 @@ class StackedSignal:
     num_nodes: int
     num_edges: int
     graph_dynamic: bool
+    batches: Optional[jnp.ndarray] = None
 
     # ------------------------------------------------------------------
 
@@ -92,7 +96,17 @@ class StackedSignal:
             g = signal._graph_at(0)
             senders, receivers, weights = g.senders, g.receivers, g.weights
             num_nodes, num_edges = g.num_nodes, g.num_edges
+        batches = None
+        if getattr(signal, "_has_batch", False):
+            if graph_dynamic:
+                batches = convert_array(
+                    np.stack([np.asarray(signal._raw_batch(t))
+                              for t in range(T)])
+                )
+            else:
+                batches = convert_array(np.asarray(signal._raw_batch(0)))
         return StackedSignal(
+            batches=batches,
             features=convert_array(feats),
             targets=convert_array(targets),
             senders=senders,
@@ -110,22 +124,37 @@ class StackedSignal:
         """``lax.scan`` ``step(carry, x_t, y_t, graph_t) -> (carry, out)``
         over all snapshots.  Jit-safe; graph arrays ride the scan when the
         graph is dynamic and are closed over (hoisted) when static.
+
+        For *Batch signals (``batches is not None``) the step instead takes
+        ``step(carry, x_t, y_t, graph_t, batch_t)``; a static batch vector is
+        hoisted like the static graph.
         """
+        has_batch = self.batches is not None
         if self.graph_dynamic:
             xs = (self.features, self.targets, self.senders, self.receivers,
                   self.weights)
+            if has_batch:
+                xs = xs + (self.batches,)
 
             def body(carry, x):
-                f, y, s, r, w = x
+                if has_batch:
+                    f, y, s, r, w, b = x
+                else:
+                    f, y, s, r, w = x
                 g = Graph(s, r, w, self.num_nodes, self.num_edges)
+                if has_batch:
+                    return step(carry, f, y, g, b)
                 return step(carry, f, y, g)
 
         else:
             xs = (self.features, self.targets)
             g_static = self.graph()
+            b_static = self.batches
 
             def body(carry, x):
                 f, y = x
+                if has_batch:
+                    return step(carry, f, y, g_static, b_static)
                 return step(carry, f, y, g_static)
 
         return jax.lax.scan(body, init_carry, xs, unroll=unroll)
@@ -134,7 +163,7 @@ class StackedSignal:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["x_dicts", "y_dicts", "edge_senders", "edge_receivers",
-                 "edge_weights"],
+                 "edge_weights", "batch_dicts"],
     meta_fields=["edge_meta", "graph_dynamic"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -144,6 +173,9 @@ class StackedHeteroSignal:
     x_dicts / y_dicts: {node_type: (T, n_t, ...)}.
     edge_*: {edge_type: (E,) or (T, E)} arrays; ``edge_meta`` maps each edge
     type to (num_nodes_dst, num_edges, num_src).
+    batch_dicts: {node_type: (n_t,) or (T, n_t)} node→graph assignment from
+    the hetero *Batch variants (empty dict for plain signals).  When
+    non-empty, ``scan``'s step receives it as a 5th argument.
 
     Requires every step to carry the same node/edge-type keys (the hetero
     None-skipping semantics are an iterator-level feature; stacking needs
@@ -157,6 +189,9 @@ class StackedHeteroSignal:
     edge_weights: Dict[tuple, jnp.ndarray]
     edge_meta: tuple  # sorted ((edge_type, (n_dst, n_edges, n_src)), ...)
     graph_dynamic: bool
+    batch_dicts: Dict[str, jnp.ndarray] = dataclasses.field(
+        default_factory=dict
+    )
 
     @property
     def _meta(self) -> dict:
@@ -220,36 +255,60 @@ class StackedHeteroSignal:
                 senders[k], receivers[k], weights[k] = (
                     g.senders, g.receivers, g.weights
                 )
+        batch_dicts = {}
+        if snaps[0].batch_dict:
+            keys_b = set(snaps[0].batch_dict)
+            if graph_dynamic:
+                batch_dicts = {
+                    nt: jnp.stack([s.batch_dict[nt] for s in snaps])
+                    for nt in keys_b
+                }
+            else:
+                batch_dicts = dict(snaps[0].batch_dict)
         return StackedHeteroSignal(
             x_dicts=x_dicts, y_dicts=y_dicts, edge_senders=senders,
             edge_receivers=receivers, edge_weights=weights,
             edge_meta=tuple(sorted(meta.items())),
             graph_dynamic=graph_dynamic,
+            batch_dicts=batch_dicts,
         )
 
     def scan(self, step: Callable, init_carry, unroll: int = 1):
         """``step(carry, x_dict, y_dict, edge_graphs) -> (carry, out)``
-        scanned over all snapshots."""
+        scanned over all snapshots.  For hetero *Batch signals
+        (``batch_dicts`` non-empty) the step instead takes
+        ``step(carry, x_dict, y_dict, edge_graphs, batch_dict)``."""
+        has_batch = bool(self.batch_dicts)
         if self.graph_dynamic:
             xs = (self.x_dicts, self.y_dicts, self.edge_senders,
                   self.edge_receivers, self.edge_weights)
+            if has_batch:
+                xs = xs + (self.batch_dicts,)
 
             meta = self._meta
 
             def body(carry, x):
-                xd, yd, es, er, ew = x
+                if has_batch:
+                    xd, yd, es, er, ew, bd = x
+                else:
+                    xd, yd, es, er, ew = x
                 graphs = {
                     k: Graph(es[k], er[k], ew[k], *meta[k][:2], meta[k][2])
                     for k in es
                 }
+                if has_batch:
+                    return step(carry, xd, yd, graphs, bd)
                 return step(carry, xd, yd, graphs)
 
         else:
             xs = (self.x_dicts, self.y_dicts)
             graphs = self.edge_graphs()
+            bd_static = self.batch_dicts
 
             def body(carry, x):
                 xd, yd = x
+                if has_batch:
+                    return step(carry, xd, yd, graphs, bd_static)
                 return step(carry, xd, yd, graphs)
 
         return jax.lax.scan(body, init_carry, xs, unroll=unroll)

@@ -6,6 +6,7 @@ Mirrors reference ``test/dataset_test.py`` synthetic-generator strategy
 device-windower equivalence checks (reference ``test/index_test.py:18-40``).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -335,3 +336,74 @@ def test_hetero_static_signal(rng):
     for snap in sig:
         np.testing.assert_allclose(snap.x_dict["a"], feat["a"])
     assert sig[1:3].snapshot_count == 2
+
+
+def test_stacked_signal_batch_variants(rng):
+    """StackedSignal carries the batch vector; scan's step gets it as the
+    5th argument (static hoisted, dynamic riding the scan)."""
+    ei, ew, feats, targs = generate_signal(rng)
+    batch = rng.integers(0, 2, size=(N,))
+    sig = StaticGraphTemporalSignalBatch(ei, ew, feats, targs, batch)
+    st = StackedSignal.from_signal(sig)
+    assert st.batches is not None and st.batches.shape == (N,)
+
+    def step(carry, x, y, g, b):
+        # per-graph mean via the batch vector (the reason batch exists)
+        ones = jnp.zeros((2,)).at[b].add(1.0)
+        sums = jnp.zeros((2, x.shape[-1])).at[b].add(x)
+        return carry + sums / ones[:, None], None
+
+    out, _ = jax.jit(lambda s: s.scan(step, jnp.zeros((2, F))))(st)
+    want = np.zeros((2, F))
+    for t in range(T):
+        for gidx in range(2):
+            want[gidx] += feats[t][batch == gidx].mean(0)
+    np.testing.assert_allclose(out, want, rtol=1e-5)
+
+    # dynamic variant: per-t batch rides the scan
+    eis = [ei for _ in range(T)]
+    ews = [ew for _ in range(T)]
+    batches = [rng.integers(0, 2, size=(N,)) for _ in range(T)]
+    sig2 = DynamicGraphTemporalSignalBatch(eis, ews, feats, targs, batches)
+    st2 = StackedSignal.from_signal(sig2)
+    assert st2.batches.shape == (T, N)
+
+    def step2(carry, x, y, g, b):
+        return carry + jnp.zeros((2,)).at[b].add(y), None
+
+    out2, _ = jax.jit(lambda s: s.scan(step2, jnp.zeros((2,))))(st2)
+    want2 = np.zeros((2,))
+    for t in range(T):
+        np.add.at(want2, batches[t], targs[t])
+    np.testing.assert_allclose(out2, want2, rtol=1e-5)
+
+
+def test_stacked_hetero_signal_batch(rng):
+    from pytorch_geometric_temporal_tpu.signal import (
+        StackedHeteroSignal,
+        StaticHeteroGraphTemporalSignalBatch,
+    )
+
+    n_a, n_b = 6, 4
+    ei = {("a", "to", "b"): np.stack([rng.integers(0, n_a, 9),
+                                      rng.integers(0, n_b, 9)])}
+    ew = {("a", "to", "b"): rng.uniform(size=9).astype(np.float32)}
+    feats = [{"a": rng.uniform(size=(n_a, 3)).astype(np.float32),
+              "b": rng.uniform(size=(n_b, 3)).astype(np.float32)}
+             for _ in range(5)]
+    targs = [{"b": rng.uniform(size=(n_b,)).astype(np.float32)}
+             for _ in range(5)]
+    batch = {"a": rng.integers(0, 2, size=(n_a,)),
+             "b": rng.integers(0, 2, size=(n_b,))}
+    sig = StaticHeteroGraphTemporalSignalBatch(ei, ew, feats, targs, batch)
+    st = StackedHeteroSignal.from_signal(sig)
+    assert set(st.batch_dicts) == {"a", "b"}
+
+    def step(carry, xd, yd, graphs, bd):
+        return carry + jnp.zeros((2,)).at[bd["b"]].add(yd["b"]), None
+
+    out, _ = jax.jit(lambda s: s.scan(step, jnp.zeros((2,))))(st)
+    want = np.zeros((2,))
+    for t in range(5):
+        np.add.at(want, batch["b"], targs[t]["b"])
+    np.testing.assert_allclose(out, want, rtol=1e-5)
