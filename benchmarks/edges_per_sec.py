@@ -1,0 +1,172 @@
+"""edges/s scaling-efficiency harness (BASELINE north star: >=80% scaling).
+
+Measures sparse-aggregation throughput in edges/second for the three tiers
+the reference's distributed story maps onto (reference Dask-DDP replicates
+the graph on every worker — ``examples/indexBatching/DCRNN/pems_ddp.py`` —
+so it has no per-edge scaling number at all; this harness benchmarks the
+capability that replaces it):
+
+  1. single device  — ``spmm`` on one chip (the intra-chip baseline),
+  2. P-device mesh  — ``spmm_partitioned`` with the halo (all_to_all)
+     exchange; efficiency = tput_P / (P * tput_1-part-local),
+  3. exchange comparison — gather vs scatter vs halo ICI strategies.
+
+Run on real hardware (``python benchmarks/edges_per_sec.py``) it uses
+whatever ``jax.devices()`` exposes; with ``--virtual N`` it forces an
+N-device virtual CPU mesh (functional check of the sharded path; CPU
+timings do not model ICI).  Prints one JSON line per measurement.
+
+Synthetic graph: ring-of-clusters — P dense communities plus a fraction of
+cross-community edges, matching road networks' locality (METR-LA/PEMS) so
+the halo cut is realistically small.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_clustered_graph(rng, n, avg_deg, num_parts, cross_frac=0.05):
+    """COO edges with ~(1-cross_frac) of edges inside node blocks."""
+    import numpy as np
+
+    e = n * avg_deg
+    npp = -(-n // num_parts)
+    e_local = int(e * (1 - cross_frac))
+    part = rng.integers(0, num_parts, size=e_local)
+    s_loc = part * npp + rng.integers(0, npp, size=e_local)
+    r_loc = part * npp + rng.integers(0, npp, size=e_local)
+    s_x = rng.integers(0, n, size=e - e_local)
+    r_x = rng.integers(0, n, size=e - e_local)
+    s = np.clip(np.concatenate([s_loc, s_x]), 0, n - 1)
+    r = np.clip(np.concatenate([r_loc, r_x]), 0, n - 1)
+    w = rng.uniform(0.1, 1.0, len(s)).astype(np.float32)
+    return np.stack([s, r]), w
+
+
+def time_fn(fn, x, iters=100, reps=5):
+    """Median seconds per application of ``fn`` (shape-preserving).
+
+    The iteration loop lives INSIDE one jit and the result is synced by
+    fetching a scalar: on the remote-TPU (axon) platform per-dispatch
+    latency is high and ``block_until_ready`` can return before the device
+    finishes, so host-fetching a reduction is the only reliable fence.
+    """
+    import jax
+
+    @jax.jit
+    def run(x0):
+        out = jax.lax.fori_loop(0, iters, lambda i, a: fn(a), x0)
+        return out.sum()
+
+    float(run(x))  # compile + pipeline fill
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2] / iters
+
+
+def emit(metric, value, unit, baseline=None):
+    rec = {"metric": metric, "value": round(value, 1), "unit": unit}
+    if baseline is not None:
+        rec["vs_baseline"] = round(value / baseline, 3) if baseline else 0.0
+    print(json.dumps(rec))
+    sys.stdout.flush()
+    return value
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=50_000)
+    ap.add_argument("--avg-deg", type=int, default=40)
+    ap.add_argument("--features", type=int, default=64)
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="force an N-device virtual CPU mesh")
+    ap.add_argument("--cross-frac", type=float, default=0.05)
+    args = ap.parse_args()
+
+    if args.virtual:
+        # This environment may pre-import jax via sitecustomize; backend
+        # init is lazy, so config + env updates here still take effect
+        # (same trick as tests/conftest.py).
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.virtual}"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorch_geometric_temporal_tpu.ops import (
+        BCSRMatrix, Graph, bcsr_spmm, spmm,
+    )
+    from pytorch_geometric_temporal_tpu.parallel import (
+        PartitionedGraph, make_mesh, spmm_partitioned,
+    )
+
+    devs = jax.devices()
+    p = len(devs)
+    n, f = args.nodes, args.features
+    rng = np.random.default_rng(0)
+    ei, w = make_clustered_graph(rng, n, args.avg_deg, max(p, 1),
+                                 args.cross_frac)
+    e = ei.shape[1]
+    g = Graph.from_edge_index(ei, w, num_nodes=n)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+
+    # Tier 1: single-device aggregation
+    dt1 = time_fn(lambda xx: spmm(g, xx), x)
+    tput1 = emit("spmm_single_device_edges_per_sec", e / dt1, "edges/s")
+
+    # Tier 1b: prebuilt block-sparse operator (Pallas MXU path on TPU)
+    mat = BCSRMatrix.from_graph(g, dtype=jnp.bfloat16)
+    dt1b = time_fn(lambda xx: bcsr_spmm(mat, xx), x)
+    emit("bcsr_spmm_single_device_edges_per_sec", e / dt1b, "edges/s",
+         baseline=tput1)
+
+    if p < 2:
+        print(json.dumps({
+            "metric": "scaling_efficiency", "value": None,
+            "unit": "fraction",
+            "note": f"only {p} device(s); rerun with --virtual N or on a pod",
+        }))
+        return
+
+    # Tier 2/3: P-way node-partitioned aggregation, three ICI strategies
+    mesh = make_mesh({"graph": p})
+    results = {}
+    for by, exchange in (("receiver", "gather"), ("sender", "scatter"),
+                         ("halo", "halo")):
+        pg = PartitionedGraph.from_graph(g, p, by=by)
+        xs = pg.shard_features(x, mesh)
+        dt = time_fn(
+            lambda xx, pg=pg, exchange=exchange:
+            spmm_partitioned(pg, xx, mesh, exchange=exchange),
+            xs, iters=20,
+        )
+        results[exchange] = emit(
+            f"spmm_partitioned_{exchange}_{p}dev_edges_per_sec",
+            e / dt, "edges/s", baseline=tput1,
+        )
+
+    best = max(results.values())
+    emit("scaling_efficiency_best_exchange", best / (p * tput1), "fraction")
+
+
+if __name__ == "__main__":
+    main()
