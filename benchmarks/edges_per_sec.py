@@ -32,16 +32,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_clustered_graph(rng, n, avg_deg, num_parts, cross_frac=0.05):
-    """COO edges with ~(1-cross_frac) of edges inside node blocks."""
+def make_clustered_graph(rng, n, avg_deg, num_parts, cross_frac=0.05,
+                         band=96):
+    """Banded-locality COO edges (road-network-like adjacency).
+
+    Sensor/road graphs with geographically ordered node ids have banded
+    adjacency (METR-LA/PEMS distance-thresholded kernels): ``1-cross_frac``
+    of edges connect nodes within ``band`` id positions; the rest are
+    uniform long-range edges (the partition-cut / BCSR-remainder traffic).
+    """
     import numpy as np
 
     e = n * avg_deg
-    npp = -(-n // num_parts)
     e_local = int(e * (1 - cross_frac))
-    part = rng.integers(0, num_parts, size=e_local)
-    s_loc = part * npp + rng.integers(0, npp, size=e_local)
-    r_loc = part * npp + rng.integers(0, npp, size=e_local)
+    s_loc = rng.integers(0, n, size=e_local)
+    r_loc = s_loc + rng.integers(-band, band + 1, size=e_local)
     s_x = rng.integers(0, n, size=e - e_local)
     r_x = rng.integers(0, n, size=e - e_local)
     s = np.clip(np.concatenate([s_loc, s_x]), 0, n - 1)
