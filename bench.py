@@ -44,6 +44,7 @@ def bench_jax(ei, w, x_np, y_np):
     from pytorch_geometric_temporal_tpu.models import DCRNNSeq
     from pytorch_geometric_temporal_tpu.ops import Graph
     from pytorch_geometric_temporal_tpu.train import masked_mae_loss
+    from pytorch_geometric_temporal_tpu.train.precision import bf16_policy
 
     g = Graph.from_edge_index(ei, w, num_nodes=N)
     x = jnp.asarray(x_np)
@@ -54,8 +55,15 @@ def bench_jax(ei, w, x_np, y_np):
     params = model.init(jax.random.PRNGKey(0), x, g)
     opt = optax.adam(1e-3)
 
+    # The package's recommended TPU recipe: f32 master params, bf16 compute
+    # (train/precision.py) — halves HBM traffic, MXU-native matmuls; grads
+    # arrive f32 through the differentiated cast, loss math stays f32.
+    xc = bf16_policy.cast_to_compute(x)
+    gc = bf16_policy.cast_to_compute(g)
+
     def loss_fn(p):
-        pred = model.apply(p, x, g)
+        pred = model.apply(bf16_policy.cast_to_compute(p), xc, gc)
+        pred = bf16_policy.cast_output(pred)
         return masked_mae_loss(pred * std + mean, y * std + mean)
 
     @jax.jit
