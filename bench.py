@@ -1,13 +1,30 @@
-"""Benchmark: DCRNN seq2seq training throughput on METR-LA shapes.
+"""Benchmark: DCRNN seq2seq training throughput + accuracy protocol.
 
-Mirrors the reference's headline index-batching protocol
+Throughput mirrors the reference's headline index-batching protocol
 (``examples/indexBatching/DCRNN/pems_main.py``): BatchedDCRNN-equivalent
 seq2seq (K=3, in=out=num_features), masked MAE on z-score de-normalized
 values, Adam(1e-3), window 12→12 on the METR-LA graph (207 nodes, 1722
 edges, 2 features — reference ``test/index_test.py:37-40``).
 
+Accuracy mirrors the reference's canonical snapshot-loop protocol
+(``examples/recurrent/gconvgru_example.py``): GConvGRU(4→32, K=1) + linear
+head on Hungary chickenpox (bundled in-package), train_ratio 0.2, Adam(0.01),
+200 full-BPTT epochs, hidden state reset per snapshot exactly as the
+reference script does; reports test MSE/MAE on the standardized targets.
+The reference script's published ballpark is MSE ≈ 1.0.
+
+Precision note: the JAX throughput path trains with the package's
+recommended TPU recipe — f32 master params, **bf16 compute** — while the
+torch-CPU baseline runs f32 (torch CPU autocast-bf16 is slower than f32 on
+this host, so f32 is the stronger baseline).  ``vs_baseline`` therefore
+compares each stack's best practical configuration, not like-for-like
+dtypes; both dtypes are tagged in the JSON record.  The accuracy protocol
+runs f32 end to end.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": snapshots/sec/chip, "unit": ..., "vs_baseline": r}
+  {"metric": ..., "value": snapshots/sec/chip, "unit": ..., "vs_baseline": r,
+   "final_loss": ..., "compute_dtype": ..., "baseline_dtype": ...,
+   "chickenpox_gconvgru_test_mse": ..., "chickenpox_gconvgru_test_mae": ...}
 
 ``vs_baseline`` is the ratio against a torch-CPU implementation of the same
 model run on this host (the reference stack itself is not installable here;
@@ -163,6 +180,59 @@ def bench_torch_cpu(ei, w, x_np, y_np, steps=3):
     return steps * B * T / dt
 
 
+def bench_accuracy_chickenpox(epochs=200):
+    """Reference accuracy protocol: GConvGRU on Hungary chickenpox.
+
+    Mirrors ``examples/recurrent/gconvgru_example.py`` exactly: lags=4,
+    GConvGRU(4->32, K=1) + Linear(32->1) head, relu between, train_ratio
+    0.2, Adam(0.01), 200 epochs of full-sequence BPTT with the MSE averaged
+    over snapshots, hidden state reset every snapshot (the reference script
+    never threads H).  Returns (test_mse, test_mae) on the standardized
+    targets — the reference script's published ballpark is MSE ~= 1.0.
+    """
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pytorch_geometric_temporal_tpu.data import ChickenpoxDatasetLoader
+    from pytorch_geometric_temporal_tpu.models import GConvGRU
+    from pytorch_geometric_temporal_tpu.signal import (
+        StackedSignal,
+        temporal_signal_split,
+    )
+    from pytorch_geometric_temporal_tpu.train import SnapshotTrainer, mse
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, graph):
+            h = GConvGRU(out_channels=32, K=1, name="recurrent")(x, graph)
+            return nn.Dense(1, name="linear")(nn.relu(h))[..., 0]
+
+    dataset = ChickenpoxDatasetLoader().get_dataset(lags=4)
+    train_sig, test_sig = temporal_signal_split(dataset, 0.2)
+    train = StackedSignal.from_signal(train_sig)
+    test = StackedSignal.from_signal(test_sig)
+    model = Net()
+    params = model.init(
+        jax.random.PRNGKey(42), train.features[0], train.graph()
+    )
+
+    def loss_and_state(p, carry, x, y, g):
+        return mse(model.apply(p, x, g), y), carry
+
+    trainer = SnapshotTrainer(loss_and_state, optax.adam(1e-2))
+    params, _ = trainer.fit(params, train, epochs=epochs, log_every=epochs)
+    test_mse = float(trainer.evaluate(params, test))
+
+    def mae_and_state(p, carry, x, y, g):
+        return jnp.mean(jnp.abs(model.apply(p, x, g) - y)), carry
+
+    mae_eval = SnapshotTrainer(mae_and_state, optax.adam(1e-2))
+    test_mae = float(mae_eval.evaluate(params, test))
+    return test_mse, test_mae
+
+
 def main():
     rng = np.random.default_rng(0)
     ei, w, x, y = make_data(rng)
@@ -172,6 +242,10 @@ def main():
     except Exception:
         torch_tput = float("nan")
     vs = jax_tput / torch_tput if torch_tput == torch_tput else 0.0
+    try:
+        test_mse, test_mae = bench_accuracy_chickenpox()
+    except Exception:
+        test_mse = test_mae = None
     print(
         json.dumps(
             {
@@ -179,6 +253,15 @@ def main():
                 "value": round(jax_tput, 1),
                 "unit": "snapshots/s",
                 "vs_baseline": round(vs, 2),
+                "final_loss": round(loss, 4),
+                "compute_dtype": "bfloat16 (f32 master params)",
+                "baseline_dtype": "float32 torch-CPU",
+                "chickenpox_gconvgru_test_mse": (
+                    round(test_mse, 4) if test_mse is not None else None
+                ),
+                "chickenpox_gconvgru_test_mae": (
+                    round(test_mae, 4) if test_mae is not None else None
+                ),
             }
         )
     )

@@ -1,24 +1,32 @@
 """edges/s scaling-efficiency harness (BASELINE north star: >=80% scaling).
 
-Measures sparse-aggregation throughput in edges/second for the three tiers
-the reference's distributed story maps onto (reference Dask-DDP replicates
-the graph on every worker — ``examples/indexBatching/DCRNN/pems_ddp.py`` —
-so it has no per-edge scaling number at all; this harness benchmarks the
+Measures sparse-aggregation throughput in edges/second for the tiers the
+reference's distributed story maps onto (reference Dask-DDP replicates the
+graph on every worker — ``examples/indexBatching/DCRNN/pems_ddp.py`` — so it
+has no per-edge scaling number at all; this harness benchmarks the
 capability that replaces it):
 
-  1. single device  — ``spmm`` on one chip (the intra-chip baseline),
-  2. P-device mesh  — ``spmm_partitioned`` with the halo (all_to_all)
-     exchange; efficiency = tput_P / (P * tput_1-part-local),
-  3. exchange comparison — gather vs scatter vs halo ICI strategies.
+  1. single device, segment path — gather+segment_sum (the portable
+     baseline every tier is normalized against),
+  1b. single device, plain ``spmm`` auto path — on TPU this must hit the
+     hybrid BCSR Pallas kernel with ZERO user opt-in (the round-2 default),
+  1c. single device, prebuilt bf16 ``BCSRMatrix`` (the explicit operator a
+     trainer threads as a step argument),
+  1d. model-level: a plain ``DCRNNSeq`` forward on the same graph — proves
+     the auto path fires through real model code, not just raw spmm,
+  2. P-device mesh — ``spmm_partitioned`` gather/scatter/halo ICI
+     strategies; efficiency = tput_P / (P * tput_1).
 
 Run on real hardware (``python benchmarks/edges_per_sec.py``) it uses
 whatever ``jax.devices()`` exposes; with ``--virtual N`` it forces an
 N-device virtual CPU mesh (functional check of the sharded path; CPU
 timings do not model ICI).  Prints one JSON line per measurement.
 
-Synthetic graph: ring-of-clusters — P dense communities plus a fraction of
-cross-community edges, matching road networks' locality (METR-LA/PEMS) so
-the halo cut is realistically small.
+Synthetic graph: banded locality — sensor/road graphs with geographically
+ordered node ids have banded adjacency (METR-LA/PEMS distance-thresholded
+kernels), so most edges connect nodes within ``band`` id positions and a
+``cross_frac`` fraction are uniform long-range edges (the partition-cut /
+BCSR-remainder traffic).
 """
 
 from __future__ import annotations
@@ -32,14 +40,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_clustered_graph(rng, n, avg_deg, num_parts, cross_frac=0.05,
-                         band=96):
+def make_banded_graph(rng, n, avg_deg, cross_frac=0.05, band=96):
     """Banded-locality COO edges (road-network-like adjacency).
 
-    Sensor/road graphs with geographically ordered node ids have banded
-    adjacency (METR-LA/PEMS distance-thresholded kernels): ``1-cross_frac``
-    of edges connect nodes within ``band`` id positions; the rest are
-    uniform long-range edges (the partition-cut / BCSR-remainder traffic).
+    ``1-cross_frac`` of edges connect nodes within ``band`` id positions;
+    the rest are uniform long-range edges.  Weights are scaled so the
+    operator's row sums are ~1 (spectral radius near 1): repeated
+    application in the timing loop then stays finite instead of
+    overflowing to inf within a few iterations.
     """
     import numpy as np
 
@@ -52,6 +60,8 @@ def make_clustered_graph(rng, n, avg_deg, num_parts, cross_frac=0.05,
     s = np.clip(np.concatenate([s_loc, s_x]), 0, n - 1)
     r = np.clip(np.concatenate([r_loc, r_x]), 0, n - 1)
     w = rng.uniform(0.1, 1.0, len(s)).astype(np.float32)
+    deg = np.bincount(r, weights=w, minlength=n).astype(np.float32)
+    w = w / np.maximum(deg[r], 1e-6)  # row-normalize: bounded iterates
     return np.stack([s, r]), w
 
 
@@ -62,6 +72,8 @@ def time_fn(fn, x, iters=100, reps=5):
     fetching a scalar: on the remote-TPU (axon) platform per-dispatch
     latency is high and ``block_until_ready`` can return before the device
     finishes, so host-fetching a reduction is the only reliable fence.
+    ``fn`` must be non-expanding (row-normalized operator) so the carried
+    value stays finite across the loop.
     """
     import jax
 
@@ -128,21 +140,59 @@ def main():
     p = len(devs)
     n, f = args.nodes, args.features
     rng = np.random.default_rng(0)
-    ei, w = make_clustered_graph(rng, n, args.avg_deg, max(p, 1),
-                                 args.cross_frac)
+    ei, w = make_banded_graph(rng, n, args.avg_deg, args.cross_frac)
     e = ei.shape[1]
     g = Graph.from_edge_index(ei, w, num_nodes=n)
     x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
 
-    # Tier 1: single-device aggregation
-    dt1 = time_fn(lambda xx: spmm(g, xx), x)
-    tput1 = emit("spmm_single_device_edges_per_sec", e / dt1, "edges/s")
+    # Tier 1: single-device segment (scatter) aggregation — the baseline
+    dt1 = time_fn(lambda xx: spmm(g, xx, backend="segment"), x)
+    tput1 = emit("spmm_segment_single_device_edges_per_sec", e / dt1,
+                 "edges/s")
 
-    # Tier 1b: prebuilt block-sparse operator (Pallas MXU path on TPU)
-    mat = BCSRMatrix.from_graph(g, dtype=jnp.bfloat16)
-    dt1b = time_fn(lambda xx: bcsr_spmm(mat, xx), x)
-    emit("bcsr_spmm_single_device_edges_per_sec", e / dt1b, "edges/s",
+    # Tier 1b: PLAIN spmm — zero opt-in.  On TPU this must resolve to the
+    # auto-built hybrid BCSR kernel; vs_baseline is the default-path speedup
+    # every ordinary user now gets.
+    dt1b = time_fn(lambda xx: spmm(g, xx), x)
+    emit("spmm_default_single_device_edges_per_sec", e / dt1b, "edges/s",
          baseline=tput1)
+
+    # Tier 1c: prebuilt bf16 block-sparse operator (explicit trainer path)
+    mat = BCSRMatrix.from_graph(g, dtype=jnp.bfloat16)
+    dt1c = time_fn(lambda xx: bcsr_spmm(mat, xx), x)
+    emit("bcsr_bf16_single_device_edges_per_sec", e / dt1c, "edges/s",
+         baseline=tput1)
+
+    # Tier 1d: model-level — DCRNNSeq on the 50k graph through the BCSR
+    # kernel, with the operators passed as a jit ARGUMENT (prepare_graph):
+    # pytree leaves are runtime buffers, so the compile payload stays small
+    # (closing over the raw Graph also hits the kernel, but bakes ~100MB of
+    # tiles into the executable as constants — fine on a local chip, but
+    # this platform's remote-compile transport caps request size).
+    # Effective edges/s counts every spmm the model issues per step:
+    # 2 gate stages x 2 directions x (K-1) hops.
+    from pytorch_geometric_temporal_tpu.models import DCRNNSeq
+    from pytorch_geometric_temporal_tpu.ops import prepare_graph
+
+    K, T, feats = 3, 4, 8
+    xm = jnp.asarray(rng.normal(size=(1, T, n, feats)).astype(np.float32))
+    model = DCRNNSeq(out_channels=feats, K=K, unroll=1)
+    pg = prepare_graph(g, kinds=("diffusion",), dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), xm, pg)
+
+    @jax.jit
+    def fwd(p_, xx, graph):
+        return model.apply(p_, xx, graph)
+
+    float(fwd(params, xm, pg).sum())  # compile
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(fwd(params, xm, pg).sum())
+    dt = (time.perf_counter() - t0) / reps
+    spmms_per_step = 2 * 2 * (K - 1)
+    emit("dcrnn_prepared_graph_model_edges_per_sec",
+         e * spmms_per_step * T / dt, "edges/s")
 
     if p < 2:
         print(json.dumps({
@@ -152,7 +202,7 @@ def main():
         }))
         return
 
-    # Tier 2/3: P-way node-partitioned aggregation, three ICI strategies
+    # Tier 2: P-way node-partitioned aggregation, three ICI strategies
     mesh = make_mesh({"graph": p})
     results = {}
     for by, exchange in (("receiver", "gather"), ("sender", "scatter"),

@@ -2,14 +2,17 @@
 
 The reference loaders download from the web on every construction
 (``dataset/chickenpox.py:32-38``).  Here files resolve through a search path
-first (env ``PGT_TPU_DATA``, ``~/.cache/pgt_tpu``, and — when present — the
-reference checkout's bundled ``dataset/`` directory), and only then fall
-back to URL download into the cache.  Zero-egress environments therefore
-work with pre-staged files.
+first (env ``PGT_TPU_DATA``, ``~/.cache/pgt_tpu``), then the six small
+public datasets bundled with the package itself (``data/bundled/*.json.gz``
+— mirroring the reference's in-repo ``dataset/*.json`` bundle), and only
+then fall back to URL download into the cache.  Zero-egress environments
+therefore work out of the box for the bundled sets and with pre-staged
+files for the rest.
 """
 
 from __future__ import annotations
 
+import gzip
 import io
 import json
 import os
@@ -19,7 +22,7 @@ import zipfile
 from pathlib import Path
 from typing import List, Optional
 
-_BUNDLED = Path("/root/reference/dataset")
+_BUNDLED = Path(__file__).parent / "bundled"
 _EXTRA_PATHS: List[Path] = []
 
 
@@ -37,8 +40,6 @@ def data_search_paths() -> List[Path]:
     if env:
         paths.append(Path(env))
     paths.append(Path.home() / ".cache" / "pgt_tpu")
-    if _BUNDLED.is_dir():
-        paths.append(_BUNDLED)
     return paths
 
 
@@ -57,11 +58,30 @@ def find_file(filename: str) -> Optional[Path]:
     return None
 
 
+def available(filename: str) -> bool:
+    """True when ``filename`` resolves offline (staged or package-bundled)."""
+    return find_file(filename) is not None or _bundled_bytes(filename) is not None
+
+
+def _bundled_bytes(filename: str) -> Optional[bytes]:
+    """Package-bundled datasets (small public JSONs, stored gzipped)."""
+    gz = _BUNDLED / (filename + ".gz")
+    if gz.is_file():
+        return gzip.decompress(gz.read_bytes())
+    plain = _BUNDLED / filename
+    if plain.is_file():
+        return plain.read_bytes()
+    return None
+
+
 def fetch_bytes(filename: str, url: str) -> bytes:
     """Resolve a dataset file locally or download it into the cache."""
     p = find_file(filename)
     if p is not None:
         return p.read_bytes()
+    bundled = _bundled_bytes(filename)
+    if bundled is not None:
+        return bundled
     try:
         context = ssl._create_unverified_context()
         data = urllib.request.urlopen(url, context=context).read()

@@ -18,9 +18,13 @@ TPU-first redesign:
   the time dimension runs under ``lax.scan`` (no Python loop,
   ``dcrnn.py:463-473``).
 
-Deviation (documented): the reference's messages ignore edge weights and its
-reverse pass applies norms misaligned with the re-sorted reverse edge list
-(``dcrnn.py:73-77,288-290``); we implement the paper's weighted operators.
+Deviation (documented): the reference's messages ignore edge weights, its
+reverse pass applies norms misaligned with the re-sorted reverse edge list,
+and its Chebyshev recurrence freezes the two-back term at X
+(``dcrnn.py:73-77,100-106,288-290``); we implement the paper's weighted
+operators by default.  ``compat='reference'`` reproduces the reference's
+exact semantics (quirks included) so activation-level parity is provable —
+see :func:`diffusion_basis_reference`.
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...ops.graph import Graph, diffusion_norms
-from ...ops.spmm import spmm
+from ...ops.spmm import spmm, spmm_segment
 from ..conv import glorot, zeros
 
 
@@ -63,16 +67,84 @@ def diffusion_basis(graph: Graph, x: jnp.ndarray, K: int) -> jnp.ndarray:
     return jnp.concatenate(out, axis=-1)
 
 
+def diffusion_basis_reference(graph: Graph, x: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Bit-faithful reproduction of the reference ``DConv`` basis.
+
+    The reference (``nn/recurrent/dcrnn.py:59-106``) deviates from the
+    DCRNN paper in three ways, all reproduced here so BASELINE's per-layer
+    allclose claim is checkable on weighted graphs:
+
+    1. **Unweighted messages**: ``message = norm * x_j`` — edge weights
+       enter only through the (weighted) degree norms, never the messages.
+    2. **Misaligned reverse norms**: the reverse edge list comes from
+       ``dense_to_sparse(adjᵀ)`` (sorted by (receiver, sender)), but the
+       norms applied to it are ``1/deg_in[sender]`` indexed in the ORIGINAL
+       edge order — list position j of the reverse list gets the norm of
+       the unrelated original edge j.
+    3. **Frozen recurrence**: ``Tx_0`` is never advanced past X, so every
+       hop computes ``T_k = 2·P·T_{k-1} − X`` (both directions subtract the
+       same X), not the Chebyshev ``− T_{k-2}``.
+
+    Valid only for graphs with ``edge_pad == num_edges`` and no zero-weight
+    edges (``dense_to_sparse`` drops exact zeros, which would shift the
+    reverse-list alignment).  Zero-degree nodes produce inf, as upstream.
+    Layout matches :func:`diffusion_basis`: (..., N, 2·K·F).
+    """
+    if graph.edge_pad != graph.num_edges:
+        raise ValueError(
+            "compat='reference' requires an unpadded edge list "
+            f"(edge_pad={graph.edge_pad} != num_edges={graph.num_edges}): "
+            "dense_to_sparse has no concept of padding edges"
+        )
+    w = graph.weights
+    deg_out = jnp.zeros(graph.num_nodes, w.dtype).at[graph.senders].add(w)
+    deg_in = jnp.zeros(graph.num_nodes, w.dtype).at[graph.receivers].add(w)
+    norm_out = 1.0 / deg_out[graph.senders]       # per original edge
+    norm_in = 1.0 / deg_in[graph.senders]         # reference quirk: senders!
+    # reverse list in dense_to_sparse order: sorted by (orig receiver, orig
+    # sender); norms stay in ORIGINAL order (the misalignment).
+    order = jnp.lexsort((graph.senders, graph.receivers))
+    fwd = graph.with_weights(norm_out)
+    bwd = Graph(
+        senders=graph.receivers[order],
+        receivers=graph.senders[order],
+        weights=norm_in,
+        num_nodes=graph.num_nodes,
+        num_edges=graph.num_edges,
+    )
+    out = []
+    for p in (fwd, bwd):
+        tx = [x]
+        if K > 1:
+            tx.append(spmm_segment(p, x))
+        for _ in range(2, K):
+            tx.append(2.0 * spmm_segment(p, tx[-1]) - x)  # frozen Tx_0 = X
+        out.extend(tx)
+    return jnp.concatenate(out, axis=-1)
+
+
+def _basis(graph, x, K, compat):
+    if compat == "reference":
+        return diffusion_basis_reference(graph, x, K)
+    return diffusion_basis(graph, x, K)
+
+
 class DConv(nn.Module):
-    """Diffusion convolution layer (replaces reference ``DConv``)."""
+    """Diffusion convolution layer (replaces reference ``DConv``).
+
+    ``compat='reference'`` reproduces the reference's exact (quirky)
+    numerics — see :func:`diffusion_basis_reference`; the default ``None``
+    implements the paper's weighted operators.
+    """
 
     out_channels: int
     K: int
     use_bias: bool = True
+    compat: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, graph: Graph):
-        z = diffusion_basis(graph, x, self.K)
+        z = _basis(graph, x, self.K, self.compat)
         w = self.param("weight", glorot, (z.shape[-1], self.out_channels))
         out = jnp.matmul(z, w, preferred_element_type=x.dtype)
         if self.use_bias:
@@ -91,6 +163,7 @@ class DCRNN(nn.Module):
     out_channels: int
     K: int
     use_bias: bool = True
+    compat: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, graph: Graph, h: Optional[jnp.ndarray] = None):
@@ -98,7 +171,7 @@ class DCRNN(nn.Module):
         if h is None:
             h = jnp.zeros(x.shape[:-1] + (C,), x.dtype)
         xh = jnp.concatenate([x, h], axis=-1)
-        b_xh = diffusion_basis(graph, xh, self.K)
+        b_xh = _basis(graph, xh, self.K, self.compat)
         # fused z+r: one matmul producing 2C channels
         w_zr = self.param("w_zr", glorot, (b_xh.shape[-1], 2 * C))
         zr = jnp.matmul(b_xh, w_zr, preferred_element_type=x.dtype)
@@ -106,7 +179,7 @@ class DCRNN(nn.Module):
             zr = zr + self.param("b_zr", zeros, (2 * C,))
         z, r = jnp.split(nn.sigmoid(zr), 2, axis=-1)
         xhr = jnp.concatenate([x, h * r], axis=-1)
-        b_xhr = diffusion_basis(graph, xhr, self.K)
+        b_xhr = _basis(graph, xhr, self.K, self.compat)
         w_h = self.param("w_h", glorot, (b_xhr.shape[-1], C))
         ht = jnp.matmul(b_xhr, w_h, preferred_element_type=x.dtype)
         if self.use_bias:
@@ -128,6 +201,7 @@ class DCRNNSeq(nn.Module):
     K: int
     use_bias: bool = True
     unroll: int = 1  # lax.scan unroll factor (trade compile time for speed)
+    compat: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, graph: Graph, h0: Optional[jnp.ndarray] = None):
@@ -142,7 +216,8 @@ class DCRNNSeq(nn.Module):
         B, T, N, F = x.shape
         if h0 is None:
             h0 = jnp.zeros((B, N, self.out_channels), x.dtype)
-        cell = DCRNN(self.out_channels, self.K, self.use_bias, name="cell")
+        cell = DCRNN(self.out_channels, self.K, self.use_bias,
+                     compat=self.compat, name="cell")
         scan = nn.scan(
             lambda c, carry, xt: (c(xt, graph, carry),) * 2,
             variable_broadcast="params",

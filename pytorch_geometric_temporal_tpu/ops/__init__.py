@@ -12,11 +12,13 @@ from .bcsr import BCSRMatrix, bcsr_spmm
 from .operators import (
     DiffusionOperators,
     Prenormalized,
+    PreparedGraph,
     host_cheb_norm,
     host_diffusion_norms,
     host_gcn_norm,
     prenormalize_cheb,
     prenormalize_gcn,
+    prepare_graph,
 )
 from .spmm import sddmm, spmm, spmm_dense, spmm_segment
 
@@ -33,6 +35,8 @@ __all__ = [
     "bcsr_spmm",
     "DiffusionOperators",
     "Prenormalized",
+    "PreparedGraph",
+    "prepare_graph",
     "host_cheb_norm",
     "host_diffusion_norms",
     "host_gcn_norm",

@@ -336,5 +336,5 @@ def bcsr_spmm(mat: BCSRMatrix, x: jnp.ndarray,
     return out.reshape(lead + out.shape[-2:])
 
 
-# Backwards-compat alias used by pallas_spmm dispatch
+# Backwards-compat alias (pre-round-2 public name)
 BCSRGraph = BCSRMatrix

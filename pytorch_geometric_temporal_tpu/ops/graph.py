@@ -280,6 +280,55 @@ def stack_graphs(graphs) -> Graph:
 # ---------------------------------------------------------------------------
 
 
+def _prepared_lookup(graph, key):
+    """(op_or_None, raw_graph): resolve a PreparedGraph's prebuilt operator.
+
+    :class:`~.operators.PreparedGraph` bundles host-prebuilt normalized
+    operators as pytree leaves so they cross jit boundaries as *arguments*
+    (no HLO constants).  Norm functions return the prebuilt operator when
+    its key matches; otherwise they fall through to recomputing from the
+    raw graph.  Detection is duck-typed (an ``ops`` dict attribute) to
+    avoid a circular import.
+    """
+    ops = getattr(graph, "ops", None)
+    if ops is None:
+        return None, graph
+    return ops.get(key), graph.graph
+
+
+def _concrete(graph: Graph) -> bool:
+    return not any(
+        isinstance(a, jax.core.Tracer)
+        for a in (graph.senders, graph.receivers, graph.weights)
+    )
+
+
+def _with_cache(graph: Graph, key, build):
+    """Instance-level memo for norm transforms on concrete graphs.
+
+    Models re-derive their normalization at every conv call site (GConvGRU
+    calls ``cheb_norm`` six times per step).  When the graph is a concrete
+    closed-over constant the results are identical concrete Graphs, and —
+    on the large-graph path — each would trigger its own host-side BCSR
+    build in :func:`~.spmm.spmm`.  Memoizing the normalized Graph on the
+    source instance collapses that to one build.  Traced graphs are never
+    cached (caching tracers across traces would leak them).  The cache is
+    advisory: it lives outside the pytree and is lost across jit/pytree
+    round-trips, which only costs a rebuild.
+    """
+    if not _concrete(graph):
+        return build()
+    cache = getattr(graph, "_op_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(graph, "_op_cache", cache)
+    out = cache.get(key)
+    if out is None:
+        out = build()
+        cache[key] = out
+    return out
+
+
 def _safe_inv(x):
     return jnp.where(x == 0, 0.0, 1.0 / jnp.where(x == 0, 1.0, x))
 
@@ -298,12 +347,19 @@ def gcn_norm(
     ``nn/recurrent/evolvegcno.py:88-90``).  Zero degrees produce 0 (PyG masks
     inf to 0).
     """
-    fill = 2.0 if improved else 1.0
-    g = graph.add_self_loops(fill) if add_self_loops else graph
-    deg = g.in_degree(weighted=True)
-    dis = _safe_inv_sqrt(deg)
-    w = dis[g.senders] * g.masked_weights() * dis[g.receivers]
-    return g.with_weights(w)
+    op, graph = _prepared_lookup(graph, ("gcn_norm", improved, add_self_loops))
+    if op is not None:
+        return op
+
+    def build():
+        fill = 2.0 if improved else 1.0
+        g = graph.add_self_loops(fill) if add_self_loops else graph
+        deg = g.in_degree(weighted=True)
+        dis = _safe_inv_sqrt(deg)
+        w = dis[g.senders] * g.masked_weights() * dis[g.receivers]
+        return g.with_weights(w)
+
+    return _with_cache(graph, ("gcn_norm", improved, add_self_loops), build)
 
 
 def laplacian(graph: Graph, normalization: Optional[str] = "sym") -> Graph:
@@ -359,10 +415,24 @@ def cheb_norm(
     """
     if lambda_max is None:
         lambda_max = 2.0
-    lap = laplacian(graph, normalization)
-    w = lap.weights * (2.0 / lambda_max)
-    w = jnp.where(jnp.isinf(w), 0.0, w)
-    return lap.with_weights(w).add_self_loops(fill_value=-1.0)
+    if isinstance(lambda_max, (int, float)):
+        op, graph = _prepared_lookup(
+            graph, ("cheb_norm", normalization, float(lambda_max))
+        )
+        if op is not None:
+            return op
+
+    def build():
+        lap = laplacian(graph, normalization)
+        w = lap.weights * (2.0 / lambda_max)
+        w = jnp.where(jnp.isinf(w), 0.0, w)
+        return lap.with_weights(w).add_self_loops(fill_value=-1.0)
+
+    if isinstance(lambda_max, (int, float)):
+        return _with_cache(
+            graph, ("cheb_norm", normalization, float(lambda_max)), build
+        )
+    return build()  # traced lambda_max: not memoizable
 
 
 def diffusion_norms(graph: Graph) -> Tuple[Graph, Graph]:
@@ -377,17 +447,27 @@ def diffusion_norms(graph: Graph) -> Tuple[Graph, Graph]:
     and mis-aligns the reverse-pass norms with the re-sorted reverse edge
     list; we implement the paper's weighted operators with aligned norms.
     """
-    w = graph.masked_weights()
-    deg_out = graph.out_degree(weighted=True)
-    deg_in = graph.in_degree(weighted=True)
-    # P_fwd[i, j] = W[i, j] / deg_out(i):  message j->i over reversed edges
-    # spmm aggregates at receiver; to compute sum_j W[i,j] x_j we need edges
-    # (sender=j, receiver=i) with weight W[i, j] = weight of edge i->j.
-    p_fwd = graph.reverse().with_weights(w * _safe_inv(deg_out)[graph.senders])
-    # P_bwd[i, j] = W[j, i] / deg_in(i): edges (sender=j, receiver=i) exist for
-    # original edges j->i, weight w(j->i)/deg_in(i).
-    p_bwd = graph.with_weights(w * _safe_inv(deg_in)[graph.receivers])
-    return p_fwd, p_bwd
+    op, graph = _prepared_lookup(graph, ("diffusion_norms",))
+    if op is not None:
+        return op
+
+    def build():
+        w = graph.masked_weights()
+        deg_out = graph.out_degree(weighted=True)
+        deg_in = graph.in_degree(weighted=True)
+        # P_fwd[i, j] = W[i, j] / deg_out(i): message j->i over reversed
+        # edges.  spmm aggregates at receiver; to compute sum_j W[i,j] x_j we
+        # need edges (sender=j, receiver=i) with weight W[i, j] = weight of
+        # edge i->j.
+        p_fwd = graph.reverse().with_weights(
+            w * _safe_inv(deg_out)[graph.senders]
+        )
+        # P_bwd[i, j] = W[j, i] / deg_in(i): edges (sender=j, receiver=i)
+        # exist for original edges j->i, weight w(j->i)/deg_in(i).
+        p_bwd = graph.with_weights(w * _safe_inv(deg_in)[graph.receivers])
+        return p_fwd, p_bwd
+
+    return _with_cache(graph, ("diffusion_norms",), build)
 
 
 def lambda_max(graph: Graph, normalization: Optional[str] = "sym", iters: int = 64):

@@ -175,6 +175,110 @@ def prenormalize_cheb(graph: Graph, normalization: Optional[str] = "sym",
     return Prenormalized(_maybe_bcsr(g, bcsr, block, dtype, min_block_edges))
 
 
+class PreparedGraph:
+    """A Graph bundled with host-prebuilt normalized operators, as ONE pytree.
+
+    Why this exists: the zero-opt-in large-graph path builds BCSR operators
+    at trace time from *closed-over* concrete graphs, which bakes the tile
+    values into the executable as constants.  That is fine locally, but
+    compile payload grows with the graph (and remote-compile transports cap
+    it).  ``PreparedGraph`` is the production form: build once on host,
+    then pass it **as a jit argument** — the operators flow in as pytree
+    leaves (runtime buffers, not HLO constants), and every norm function
+    (:func:`~.graph.gcn_norm`, :func:`~.graph.cheb_norm`,
+    :func:`~.graph.diffusion_norms`) transparently returns the prebuilt
+    operator instead of recomputing.  Models need no changes — pass a
+    PreparedGraph anywhere a Graph is accepted.
+
+    ``ops`` keys reuse the norm functions' memo keys, e.g.
+    ``("gcn_norm", False, True)``, ``("cheb_norm", "sym", 2.0)``,
+    ``("diffusion_norms",)``.
+    """
+
+    def __init__(self, graph: Graph, ops: dict):
+        self.graph = graph
+        self.ops = dict(ops)
+
+    # Graph-protocol delegation so models can treat it as a Graph.
+    @property
+    def num_nodes(self) -> int:
+        return self.graph.num_nodes
+
+    @property
+    def num_edges(self) -> int:
+        return self.graph.num_edges
+
+    @property
+    def num_src(self):
+        return self.graph.num_src
+
+    def __getattr__(self, name):
+        # only called when not found on self: delegate to the raw graph
+        if name in ("graph", "ops"):  # guard against init-order recursion
+            raise AttributeError(name)
+        return getattr(self.graph, name)
+
+    def _tree_flatten(self):
+        keys = tuple(sorted(self.ops.keys()))
+        return (self.graph, tuple(self.ops[k] for k in keys)), keys
+
+    @classmethod
+    def _tree_unflatten(cls, keys, children):
+        graph, ops = children
+        return cls(graph, dict(zip(keys, ops)))
+
+
+jax.tree_util.register_pytree_node(
+    PreparedGraph,
+    PreparedGraph._tree_flatten,
+    lambda keys, ch: PreparedGraph._tree_unflatten(keys, ch),
+)
+
+
+def prepare_graph(
+    graph: Graph,
+    kinds=("gcn", "cheb", "diffusion"),
+    bcsr: Optional[bool] = None,
+    block: int = 128,
+    dtype=None,
+    min_block_edges: int = 32,
+    gcn_improved: bool = False,
+    gcn_add_self_loops: bool = True,
+    cheb_normalization: Optional[str] = "sym",
+    cheb_lambda_max: Optional[float] = None,
+) -> PreparedGraph:
+    """Host-build the normalized operators a model will need, once.
+
+    ``kinds`` ⊆ {'gcn', 'cheb', 'diffusion'} (default: all three).
+    ``bcsr=None`` auto-selects the block-sparse form for graphs above the
+    dense threshold.  The result is a pytree — pass it through jit/pjit as
+    an argument wherever the model takes its graph.
+    """
+    from ..config import get_config
+
+    if bcsr is None:
+        bcsr = graph.num_nodes > get_config().dense_threshold
+    ops = {}
+    if "gcn" in kinds:
+        g = host_gcn_norm(graph, gcn_improved, gcn_add_self_loops)
+        ops[("gcn_norm", gcn_improved, gcn_add_self_loops)] = _maybe_bcsr(
+            g, bcsr, block, dtype, min_block_edges
+        )
+    if "cheb" in kinds:
+        lam = 2.0 if cheb_lambda_max is None else float(cheb_lambda_max)
+        g = host_cheb_norm(graph, cheb_normalization, lam)
+        ops[("cheb_norm", cheb_normalization, lam)] = _maybe_bcsr(
+            g, bcsr, block, dtype, min_block_edges
+        )
+    if "diffusion" in kinds:
+        f, b = host_diffusion_norms(graph)
+        ops[("diffusion_norms",)] = (
+            _maybe_bcsr(f, bcsr, block, dtype, min_block_edges),
+            _maybe_bcsr(b, bcsr, block, dtype, min_block_edges),
+        )
+    return PreparedGraph(graph, ops)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["p_fwd", "p_bwd"],

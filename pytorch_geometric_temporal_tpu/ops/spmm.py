@@ -13,16 +13,30 @@ Backends:
                 the (N, N) operand tiles straight onto the 128×128 systolic
                 array and XLA fuses surrounding elementwise work into it.
 - ``segment`` : gather + ``jax.ops.segment_sum``.  Works everywhere, scales
-                to arbitrary N, used for very large graphs and as the
-                correctness oracle.
-- ``pallas``  : blocked ELL kernel (``pallas_spmm.py``) for large graphs on
-                real TPU cores.
+                to arbitrary N, used as the correctness oracle and as the
+                only option for *traced* large graphs (see below).
+- ``pallas``  : hybrid block-sparse (BCSR) Pallas kernel (``bcsr.py``) for
+                large graphs on TPU.  The BCSR structure is built host-side
+                **automatically, with zero user opt-in**: when a large graph
+                with concrete (non-traced) edge arrays reaches ``spmm``, the
+                operator is tiled once and cached on the Graph instance.
+                Models normalize their graphs at trace time on closed-over
+                (constant) arrays, so the normalized operator is concrete
+                and the auto path fires for every ordinary model call.
+
+A large graph whose arrays are *traced* (passed through a jit argument or
+sliced per-step out of a stacked dynamic-edge scan) cannot be tiled — the
+structure build needs host-side sorting.  That case falls back to the
+segment path with a loud one-time warning telling the user how to get the
+kernel (close over the graph, or pass a prenormalized operator from
+:mod:`.operators`).
 
 ``spmm`` accepts X of shape (..., N, F) with arbitrary leading batch dims.
 """
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -65,6 +79,59 @@ def spmm_segment(graph: Graph, x: jnp.ndarray, weights=None) -> jnp.ndarray:
     return out.at[..., graph.receivers, :].add(msgs)
 
 
+def _is_concrete(graph: Graph) -> bool:
+    """True when the graph's arrays are real values (not jit tracers)."""
+    return not any(
+        isinstance(a, jax.core.Tracer)
+        for a in (graph.senders, graph.receivers, graph.weights)
+    )
+
+
+_warned_traced_fallback = False
+
+
+def _warn_traced_fallback(graph: Graph) -> None:
+    global _warned_traced_fallback
+    if _warned_traced_fallback:
+        return
+    _warned_traced_fallback = True
+    warnings.warn(
+        f"a large graph (N={graph.num_nodes}) reached spmm with *traced* "
+        "edge arrays, so the block-sparse Pallas kernel cannot be built and "
+        "the slower segment path is used. To hit the kernel either close "
+        "over a concrete Graph in your jitted step (instead of passing it "
+        "as a jit argument) or prebuild an operator with "
+        "ops.operators.prenormalize_gcn/prenormalize_cheb/"
+        "DiffusionOperators.from_graph and pass that to the model. "
+        "Dynamic per-step edge lists inside a scan have no tiled path.",
+        stacklevel=3,
+    )
+
+
+def _auto_bcsr(graph: Graph, x_dtype):
+    """Build (once, host-side) and cache the BCSR operator for this graph.
+
+    Tiles are stored bf16 when the activations are bf16 (halves HBM traffic;
+    the MXU multiplies bf16 natively with f32 accumulation), f32 otherwise.
+    The cache lives on the Graph instance (outside the pytree), so repeated
+    spmm calls inside one trace — and repeated traces over the same Graph
+    object — reuse one build.
+    """
+    from .bcsr import BCSRMatrix
+
+    tile_dtype = jnp.bfloat16 if x_dtype == jnp.bfloat16 else None
+    key = ("bcsr", str(tile_dtype))
+    cache = getattr(graph, "_op_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(graph, "_op_cache", cache)
+    mat = cache.get(key)
+    if mat is None:
+        mat = BCSRMatrix.from_graph(graph, dtype=tile_dtype)
+        cache[key] = mat
+    return mat
+
+
 def spmm(
     graph: Graph,
     x: jnp.ndarray,
@@ -74,16 +141,17 @@ def spmm(
     """Aggregate node features along edges: out[..., r, :] = Σ w · x[..., s, :].
 
     Args:
-        graph: the (padded) graph.
+        graph: the (padded) graph, or a prebuilt
+            :class:`~.bcsr.BCSRMatrix` operator.
         weights: optional per-edge coefficients overriding ``graph.weights``
             (e.g. attention-scaled norms).  Padding is masked internally.
         backend: 'dense' | 'segment' | 'pallas' | None (auto).
     """
-    from .bcsr import BCSRMatrix
+    from .bcsr import BCSRMatrix, bcsr_spmm
 
+    if hasattr(graph, "ops"):  # PreparedGraph: raw aggregation -> raw graph
+        graph = graph.graph
     if isinstance(graph, BCSRMatrix):
-        from .bcsr import bcsr_spmm
-
         if weights is not None:
             raise ValueError(
                 "weight override is not supported for prebuilt BCSRMatrix "
@@ -96,9 +164,15 @@ def spmm(
     if b == "segment":
         return spmm_segment(graph, x, weights)
     if b == "pallas":
-        from .pallas_spmm import spmm_pallas
-
-        return spmm_pallas(graph, x, weights)
+        # Per-call weight overrides are traced values (attention scores);
+        # they cannot be baked into tiles. Bipartite (hetero) edges are
+        # rectangular; the tiler assumes square. Both use the segment path.
+        if weights is not None or graph.num_src is not None:
+            return spmm_segment(graph, x, weights)
+        if not _is_concrete(graph):
+            _warn_traced_fallback(graph)
+            return spmm_segment(graph, x, weights)
+        return bcsr_spmm(_auto_bcsr(graph, x.dtype), x)
     raise ValueError(f"unknown spmm backend {b!r}")
 
 
@@ -111,5 +185,7 @@ def sddmm(
     compute edge scores without materializing N×N (when sparse); the dense
     path simply indexes the full score matrix.
     """
+    if hasattr(graph, "ops"):  # PreparedGraph
+        graph = graph.graph
     scores = jnp.einsum("ef,ef->e", a[graph.senders], b[graph.receivers])
     return scores * graph.edge_mask(scores.dtype)

@@ -25,6 +25,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# This jax build's default matmul precision truncates f32 operands to
+# bf16-like mantissas even on CPU (measured ~7e-2 abs error on a 64x64
+# matmul vs numpy).  Correctness tests compare against f64 torch/numpy
+# oracles, so pin full precision; production TPU runs keep the fast default.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

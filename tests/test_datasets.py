@@ -15,13 +15,13 @@ from pytorch_geometric_temporal_tpu.data import (
     PedalMeDatasetLoader,
     TwitterTennisDatasetLoader,
 )
-from pytorch_geometric_temporal_tpu.data._io import find_file
+from pytorch_geometric_temporal_tpu.data._io import available
 from pytorch_geometric_temporal_tpu.signal import temporal_signal_split
 
 
 def needs(fname):
     return pytest.mark.skipif(
-        find_file(fname) is None, reason=f"{fname} not staged"
+        not available(fname), reason=f"{fname} not staged"
     )
 
 
