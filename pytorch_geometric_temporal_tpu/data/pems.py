@@ -23,16 +23,37 @@ def _load_pkl_adj(filename: str, url: str):
     return np.stack([r, c]), adj[r, c]
 
 
+def _read_fixed_h5(path):
+    """h5py reader for the pandas 'fixed'-format HDF5 layout.
+
+    The published PeMS speed tables were written with
+    ``DataFrame.to_hdf(key='df')`` (fixed format): group ``df`` holding
+    ``axis1`` (int64 ns datetime index) and ``block0_values`` (T, N).
+    pandas needs pytables to read that; this fallback needs only h5py.
+    """
+    import h5py
+    import pandas as pd
+
+    with h5py.File(str(path), "r") as f:
+        g = f["df"]
+        values = g["block0_values"][...]
+        idx = g["axis1"][...]
+    return pd.DataFrame(values, index=pd.to_datetime(idx))
+
+
 def _load_h5_df(filename: str, url: str):
     try:
         import pandas as pd
     except ImportError as exc:  # pragma: no cover
-        raise RuntimeError("PeMS loaders need pandas (+pytables)") from exc
+        raise RuntimeError("PeMS loaders need pandas") from exc
     p = find_file(filename)
     if p is None:
         fetch_bytes(filename, url)  # downloads into the cache
         p = find_file(filename)
-    return pd.read_hdf(str(p), "df")
+    try:
+        return pd.read_hdf(str(p), "df")
+    except ImportError:  # pytables not installed
+        return _read_fixed_h5(p)
 
 
 class PemsDatasetLoader:

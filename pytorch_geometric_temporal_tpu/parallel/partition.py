@@ -39,9 +39,10 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["senders", "receivers_local", "weights", "halo_send_idx"],
+    data_fields=["senders", "receivers_local", "weights", "halo_send_idx",
+                 "int_senders", "int_receivers", "int_weights"],
     meta_fields=["num_parts", "nodes_per_part", "num_nodes", "edges_per_part",
-                 "partitioned_by", "halo_size"],
+                 "partitioned_by", "halo_size", "interior_edges_per_part"],
 )
 @dataclasses.dataclass(frozen=True)
 class PartitionedGraph:
@@ -55,10 +56,15 @@ class PartitionedGraph:
     - ``'sender'``: row p holds the edges OUT OF part p — ``senders`` are
       indices within part p, ``receivers_local`` are *global* node ids.
       Used with the 'scatter' (psum_scatter) exchange.
-    - ``'halo'``: row p holds the edges INTO part p, but ``senders`` are
-      indices into the received halo buffer (q·H + slot), and
-      ``halo_send_idx[q, p]`` lists the local rows part q must ship to
-      part p.  Used with the 'halo' (all_to_all) exchange.
+    - ``'halo'``: edges INTO part p are split into INTERIOR edges (sender
+      owned by p: ``int_senders``/``int_receivers``/``int_weights``, local
+      indices) and BOUNDARY edges (remote sender: ``senders`` index the
+      received halo buffer as q·H + slot).  ``halo_send_idx[q, p]`` lists
+      the local rows part q must ship to part p (q == p rows are unused —
+      interior edges read local features directly).  The split is what
+      enables compute/communication overlap: the interior aggregation has
+      no data dependency on the ``all_to_all``, so XLA's latency-hiding
+      scheduler runs it while the collective is in flight.
 
     Node block p owns global nodes [p·nodes_per_part, (p+1)·nodes_per_part).
     """
@@ -73,6 +79,10 @@ class PartitionedGraph:
     partitioned_by: str = "receiver"
     halo_send_idx: jnp.ndarray | None = None  # (P, P, H) local row ids
     halo_size: int = 0
+    int_senders: jnp.ndarray | None = None    # (P, E_int) local sender idx
+    int_receivers: jnp.ndarray | None = None  # (P, E_int) local receiver idx
+    int_weights: jnp.ndarray | None = None    # (P, E_int)
+    interior_edges_per_part: int = 0
 
     @property
     def padded_nodes(self) -> int:
@@ -99,44 +109,68 @@ class PartitionedGraph:
         W = np.zeros((num_parts, e_max), np.float32)
 
         if by == "halo":
-            # Pass 1: per receiver-part p, unique senders split by owner
-            # part q (np.unique sorts, so owner parts form contiguous runs).
+            # Pass 1: per receiver-part p, split edges into INTERIOR (sender
+            # owned by p) and BOUNDARY (remote sender); unique remote
+            # senders split by owner part q (np.unique sorts, so owner
+            # parts form contiguous runs).
             per_part = []
             h_max, off = 1, 0
+            e_int_max = e_bnd_max = 1
             for p in range(num_parts):
                 k = int(counts[p])
                 idx = order[off : off + k]
                 off += k
-                uniq, inv = np.unique(s[idx], return_inverse=True)
+                owner = s[idx] // npp
+                idx_int = idx[owner == p]
+                idx_bnd = idx[owner != p]
+                e_int_max = max(e_int_max, len(idx_int))
+                e_bnd_max = max(e_bnd_max, len(idx_bnd))
+                uniq, inv = np.unique(s[idx_bnd], return_inverse=True)
                 uq = uniq // npp
                 starts = np.searchsorted(uq, np.arange(num_parts + 1))
                 if len(uniq):
                     h_max = max(h_max, int(np.diff(starts).max()))
-                per_part.append((idx, uniq, inv, uq, starts))
-            # Pass 2: remap edge senders to halo-buffer slots (q·H + pos)
-            # and record which local rows each part q ships to each p.
+                per_part.append((idx_int, idx_bnd, uniq, inv, uq, starts))
+            # Pass 2: remap boundary senders to halo slots (q·H + pos),
+            # record which local rows each part q ships to each p, and lay
+            # interior edges out as purely local index triples.
+            SB = np.zeros((num_parts, e_bnd_max), np.int32)
+            RB = np.zeros((num_parts, e_bnd_max), np.int32)
+            WB = np.zeros((num_parts, e_bnd_max), np.float32)
+            SI = np.zeros((num_parts, e_int_max), np.int32)
+            RI = np.zeros((num_parts, e_int_max), np.int32)
+            WI = np.zeros((num_parts, e_int_max), np.float32)
             send_idx = np.zeros((num_parts, num_parts, h_max), np.int32)
-            for p, (idx, uniq, inv, uq, starts) in enumerate(per_part):
-                k = len(idx)
+            for p, (idx_int, idx_bnd, uniq, inv, uq, starts) in enumerate(
+                per_part
+            ):
+                ki, kb = len(idx_int), len(idx_bnd)
+                SI[p, :ki] = s[idx_int] - p * npp
+                RI[p, :ki] = r[idx_int] - p * npp
+                WI[p, :ki] = w[idx_int]
                 pos = np.arange(len(uniq)) - starts[uq]
                 remap = uq * h_max + pos
-                S[p, :k] = remap[inv]
-                R[p, :k] = r[idx] - p * npp
-                W[p, :k] = w[idx]
+                SB[p, :kb] = remap[inv]
+                RB[p, :kb] = r[idx_bnd] - p * npp
+                WB[p, :kb] = w[idx_bnd]
                 for q in range(num_parts):
                     seg = uniq[starts[q] : starts[q + 1]] - q * npp
                     send_idx[q, p, : len(seg)] = seg
             return PartitionedGraph(
-                senders=jnp.asarray(S),
-                receivers_local=jnp.asarray(R),
-                weights=jnp.asarray(W),
+                senders=jnp.asarray(SB),
+                receivers_local=jnp.asarray(RB),
+                weights=jnp.asarray(WB),
                 num_parts=num_parts,
                 nodes_per_part=npp,
                 num_nodes=n,
-                edges_per_part=e_max,
+                edges_per_part=e_bnd_max,
                 partitioned_by="halo",
                 halo_send_idx=jnp.asarray(send_idx),
                 halo_size=h_max,
+                int_senders=jnp.asarray(SI),
+                int_receivers=jnp.asarray(RI),
+                int_weights=jnp.asarray(WI),
+                interior_edges_per_part=e_int_max,
             )
 
         off = 0
@@ -244,24 +278,35 @@ def spmm_partitioned(
         if pgraph.partitioned_by != "halo":
             raise ValueError("'halo' exchange needs halo-partitioned edges "
                              "(build with from_graph(..., by='halo'))")
-        def local_halo(send_idx, es, er, ew, x_local):
-            # send_idx: (1, P, H) local rows to ship to each peer
+        def local_halo(send_idx, es_b, er_b, ew_b, es_i, er_i, ew_i, x_local):
+            # send_idx: (1, P, H) local rows to ship to each peer.  The
+            # all_to_all is issued FIRST; the interior aggregation below
+            # has no data dependency on it, so XLA's latency-hiding
+            # scheduler overlaps the local segment-sum with the collective
+            # (async start/done pair on TPU).
             blocks = x_local[send_idx[0]]  # (P, H, F)
             recv = jax.lax.all_to_all(
                 blocks, axis_name, split_axis=0, concat_axis=0, tiled=True
             )  # (P, H, F): block q = rows part q shipped to me
+            # interior: senders owned locally — independent of recv
+            msgs_i = x_local[es_i[0]] * ew_i[0][:, None].astype(x_local.dtype)
+            out = jax.ops.segment_sum(msgs_i, er_i[0], num_segments=npp)
+            # boundary: consumes the received halo buffer
             halo = recv.reshape(-1, x_local.shape[-1])  # (P·H, F)
-            msgs = halo[es[0]] * ew[0][:, None].astype(x_local.dtype)
-            return jax.ops.segment_sum(msgs, er[0], num_segments=npp)
+            msgs_b = halo[es_b[0]] * ew_b[0][:, None].astype(x_local.dtype)
+            return out + jax.ops.segment_sum(msgs_b, er_b[0],
+                                             num_segments=npp)
 
         return shard_map(
             local_halo,
             mesh=mesh,
             in_specs=(PartitionSpec(axis_name, None, None),
-                      spec_e, spec_e, spec_e, spec_x),
+                      spec_e, spec_e, spec_e, spec_e, spec_e, spec_e,
+                      spec_x),
             out_specs=spec_x,
         )(pgraph.halo_send_idx, pgraph.senders, pgraph.receivers_local,
-          pgraph.weights, x)
+          pgraph.weights, pgraph.int_senders, pgraph.int_receivers,
+          pgraph.int_weights, x)
 
     else:
         raise ValueError(f"unknown exchange {exchange!r}")

@@ -225,6 +225,38 @@ def test_halo_locality_shrinks_exchange(rng):
                                atol=1e-5)
 
 
+def test_halo_interior_boundary_split(rng):
+    """Interior edges (locally-owned senders) bypass the halo entirely —
+    on the ring-of-blocks graph each part has exactly one boundary edge,
+    everything else interior, and halo_size == 1."""
+    n, parts = 64, 8
+    blk = n // parts
+    src, dst = [], []
+    for b in range(parts):
+        lo = b * blk
+        for i in range(blk):
+            src.append(lo + i)
+            dst.append(lo + (i + 1) % blk)
+        src.append(lo + blk - 1)
+        dst.append((lo + blk) % n)
+    ei = np.stack([np.array(src), np.array(dst)])
+    g = Graph.from_edge_index(ei, np.ones(ei.shape[1], np.float32),
+                              num_nodes=n)
+    pg = PartitionedGraph.from_graph(g, parts, by="halo")
+    assert pg.halo_size == 1           # one remote row per part
+    assert pg.edges_per_part == 1      # boundary edges
+    assert pg.interior_edges_per_part == blk
+    # interior senders never reference the halo buffer
+    assert int(np.asarray(pg.int_senders).max()) < pg.nodes_per_part
+    # and the split is loss-free: same oracle result
+    x = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    mesh = make_mesh({"graph": parts})
+    out = spmm_partitioned(pg, pg.shard_features(x, mesh), mesh,
+                           exchange="halo")
+    np.testing.assert_allclose(np.asarray(out)[:n], spmm_segment(g, x),
+                               atol=1e-5)
+
+
 def test_partitioned_exchange_validation(rng):
     g = make_graph(rng, 16, 40)
     mesh = make_mesh({"graph": 4})
