@@ -8,6 +8,13 @@ Uses synthetic data by default so it runs air-gapped; pass --metrla to use
 the real dataset when staged.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 
 import jax

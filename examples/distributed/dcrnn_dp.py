@@ -12,6 +12,13 @@ Run single-host on N virtual devices:
   python examples/distributed/dcrnn_dp.py --synthetic
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 
 import jax

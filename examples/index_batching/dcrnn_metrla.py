@@ -8,6 +8,13 @@ windows gathered on device per batch (zero per-item host traffic).
 Requires METR-LA.zip staged in the data search path (see data/_io.py).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 
 import jax

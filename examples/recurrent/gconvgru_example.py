@@ -6,6 +6,13 @@ the entire epoch — scan over snapshots, backward, update — is ONE jitted
 function via StackedSignal + SnapshotTrainer.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -5,6 +5,13 @@ Counterpart of the reference's hetero test/usage
 dict-state LSTM cell trained with the snapshot protocol.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

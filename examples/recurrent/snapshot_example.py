@@ -9,6 +9,13 @@ update per epoch — here as one jitted ``lax.scan`` epoch.
 Usage:  python snapshot_example.py --model dcrnn --epochs 50
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 
 import flax.linen as nn

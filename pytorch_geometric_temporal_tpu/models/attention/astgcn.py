@@ -202,6 +202,16 @@ class ASTGCN(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph):
+        from .._validate import check_node_axis, check_rank
+
+        check_rank(x, "ASTGCN", "(B, N, F_in, T_in)", 4)
+        g0 = graph[0] if isinstance(graph, (list, tuple)) else graph
+        check_node_axis(x, g0, "ASTGCN", "(B, N, F_in, T_in)", axis=1)
+        if x.shape[-1] != self.len_input:
+            raise ValueError(
+                f"ASTGCN expects T_in == len_input ({self.len_input}); got "
+                f"trailing axis {x.shape[-1]} (shape {tuple(x.shape)})."
+            )
         blocks = [
             ASTGCNBlock(
                 self.in_channels, self.K, self.nb_chev_filter,

@@ -200,6 +200,21 @@ class GMAN(nn.Module):
 
     @nn.compact
     def __call__(self, x, se, te, train: bool = False):
+        if x.ndim != 3 or x.shape[1] != self.num_his:
+            raise ValueError(
+                f"GMAN expects X (B, num_his={self.num_his}, N); got shape "
+                f"{tuple(x.shape)}."
+            )
+        if se.shape[-1] != self.K * self.d or se.shape[0] != x.shape[2]:
+            raise ValueError(
+                f"GMAN expects SE (N={x.shape[2]}, K*d={self.K * self.d}); "
+                f"got shape {tuple(se.shape)}."
+            )
+        if te.ndim != 3 or te.shape[-1] != 2 or te.shape[1] <= self.num_his:
+            raise ValueError(
+                "GMAN expects TE (B, num_his+num_pred, 2) of (day-of-week, "
+                f"time-of-day) indices; got shape {tuple(te.shape)}."
+            )
         D = self.K * self.d
         x = x[..., None]
         x = FullyConnected([D, D], [nn.relu, None], self.bn_decay,

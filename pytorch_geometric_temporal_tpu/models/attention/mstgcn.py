@@ -69,6 +69,16 @@ class MSTGCN(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph):
+        from .._validate import check_node_axis, check_rank
+
+        check_rank(x, "MSTGCN", "(B, N, F_in, T_in)", 4)
+        g0 = graph[0] if isinstance(graph, (list, tuple)) else graph
+        check_node_axis(x, g0, "MSTGCN", "(B, N, F_in, T_in)", axis=1)
+        if x.shape[-1] != self.len_input:
+            raise ValueError(
+                f"MSTGCN expects T_in == len_input ({self.len_input}); got "
+                f"trailing axis {x.shape[-1]} (shape {tuple(x.shape)})."
+            )
         blocks = [
             MSTGCNBlock(
                 self.in_channels, self.K, self.nb_chev_filter,

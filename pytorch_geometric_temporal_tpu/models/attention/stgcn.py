@@ -60,6 +60,10 @@ class STConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: Graph, lambda_max=None, train: bool = False):
+        from .._validate import check_node_axis, check_rank
+
+        check_rank(x, "STConv", "(B, T, N, C)", 4)
+        check_node_axis(x, graph, "STConv", "(B, T, N, C)", axis=2)
         t0 = TemporalConv(self.hidden_channels, self.kernel_size,
                           name="temporal_conv1")(x)
         gc = ChebConv(self.hidden_channels, self.K, self.normalization,

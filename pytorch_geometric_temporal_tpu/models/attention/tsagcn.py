@@ -146,6 +146,11 @@ class AAGCN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if x.ndim != 4 or x.shape[-1] != self.num_nodes:
+            raise ValueError(
+                f"AAGCN expects X (B, C_in, T, V={self.num_nodes}); got "
+                f"shape {tuple(x.shape)}."
+            )
         a = GraphAAGCN(np.asarray(self.edge_index), self.num_nodes).A
         x = jnp.moveaxis(x, 1, -1)  # (B, T, V, C)
         gcn = UnitGCN(self.out_channels, adaptive=self.adaptive,

@@ -47,7 +47,9 @@ def cheb_basis(graph: Graph, x: jnp.ndarray, K: int,
     applied directly — the large-graph path.
     """
     from ..ops.operators import Prenormalized
+    from ._validate import check_node_axis
 
+    check_node_axis(x, graph, "ChebConv/cheb_basis", "(..., N, F)")
     if isinstance(graph, Prenormalized):
         lhat = graph.op
     else:
@@ -94,6 +96,9 @@ class GCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: Graph):
+        from ._validate import check_node_axis
+
+        check_node_axis(x, graph, "GCNConv", "(..., N, F)")
         g = gcn_norm(graph, self.improved, self.add_self_loops) if self.normalize else graph
         w = self.param("weight", glorot, (x.shape[-1], self.out_channels))
         out = spmm(g, jnp.matmul(x, w, preferred_element_type=x.dtype))

@@ -25,6 +25,18 @@ class AGCRN(nn.Module):
 
     @nn.compact
     def __call__(self, x, e, h: Optional[jnp.ndarray] = None):
+        if e.ndim != 2 or e.shape != (self.number_of_nodes,
+                                      self.embedding_dimensions):
+            raise ValueError(
+                f"AGCRN expects node embeddings E of shape "
+                f"({self.number_of_nodes}, {self.embedding_dimensions}); "
+                f"got {tuple(e.shape)}."
+            )
+        if x.shape[-2] != self.number_of_nodes:
+            raise ValueError(
+                f"AGCRN expects X (..., N={self.number_of_nodes}, F); got "
+                f"shape {tuple(x.shape)}."
+            )
         C = self.out_channels
         if h is None:
             h = jnp.zeros(x.shape[:-1] + (C,), x.dtype)

@@ -51,7 +51,9 @@ def diffusion_basis(graph: Graph, x: jnp.ndarray, K: int) -> jnp.ndarray:
     optionally BCSR) — the large-graph path; the in-trace norm is skipped.
     """
     from ...ops.operators import DiffusionOperators
+    from .._validate import check_node_axis
 
+    check_node_axis(x, graph, "DCRNN/diffusion_basis", "(..., N, F)")
     if isinstance(graph, DiffusionOperators):
         p_fwd, p_bwd = graph.p_fwd, graph.p_bwd
     else:

@@ -82,16 +82,19 @@ class BCSRMatrix:
 
     @staticmethod
     def from_graph(graph: Graph, block: int = BLOCK, dtype=None,
-                   min_block_edges: int = 32) -> "BCSRMatrix":
+                   min_block_edges=32, expected_f: int = 64) -> "BCSRMatrix":
         """Host-side construction from a Graph (aggregation M[r,s] = w).
 
         ``dtype=jnp.bfloat16`` stores tiles in bf16 — halves HBM traffic for
         the kernel (accumulation stays f32); default keeps f32 tiles.
 
         ``min_block_edges``: blocks with fewer edges spill their edges to
-        the COO remainder path instead of materializing a dense tile.  The
-        break-even is ~10 edges per tile (tile+feature-tile HBM cost vs
-        per-edge gather cost); 32 leaves margin.  0 disables the split.
+        the COO remainder path instead of materializing a dense tile.
+        ``'auto'`` picks the threshold from the graph's measured block-
+        occupancy histogram via :func:`tune_min_block_edges` (uses
+        ``expected_f``, the typical feature width, in its byte model); an
+        int fixes it (the break-even is ~10 edges/tile at F=64 bf16; 32
+        leaves margin); 0 disables the split.
         """
         e = graph.num_edges
         s_all, r_all, w_all = graph.host_edges()
@@ -99,6 +102,10 @@ class BCSRMatrix:
         r = np.asarray(r_all)[:e]
         w = np.asarray(w_all)[:e].copy()
         n = graph.num_nodes
+        if min_block_edges == "auto":
+            min_block_edges = tune_min_block_edges(
+                r, s, n, block, dtype, expected_f
+            )
         return BCSRMatrix(
             fwd=_build_half(r, s, w, n, block, dtype, min_block_edges),
             bwd=_build_half(s, r, w, n, block, dtype, min_block_edges),
@@ -109,6 +116,67 @@ class BCSRMatrix:
     def density(self) -> float:
         nb = self.fwd.num_rows // BLOCK
         return self.fwd.nnzb / max(nb * (self.fwd.num_cols // BLOCK), 1)
+
+
+def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
+                         expected_f: int = 64,
+                         scatter_penalty: float = 13.0,
+                         max_tile_bytes: int = 1 << 30) -> int:
+    """Pick the tile/COO spill threshold from the measured occupancy histogram.
+
+    Cost model (HBM bytes; the kernel is bandwidth-bound):
+
+    - a kept tile costs ``block² · s_tile``  (tile read) plus
+      ``block · F · s_x`` (the X tile it multiplies),
+    - a spilled edge costs ``2 · F · s_x · scatter_penalty`` — gather +
+      scatter-accumulate bytes inflated by the VPU scatter's measured
+      inefficiency (calibrated on v5e: the segment path runs ~13× below
+      the bandwidth roofline at F=64, matching the observed ~10-edge
+      break-even).
+
+    For every candidate threshold θ (the distinct occupancy counts), total
+    cost = kept_tiles(θ)·tile_bytes + spilled_edges(θ)·edge_bytes, subject
+    to a storage guard: kept tiles may not exceed ``max_tile_bytes`` of HBM
+    (prevents a huge uniform-random graph from materializing gigabytes of
+    nearly-empty tiles).  Returns the argmin θ.
+    """
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    n_pad = _round_up(max(n, 1), block)
+    nnzb, block_of_edge, _, _ = bcsr_structure_counts(cols, rows, block,
+                                                      n_pad // block)
+    e = len(rows)
+    if nnzb == 0 or e == 0:
+        return 0
+    cnt = np.bincount(block_of_edge, minlength=nnzb)
+    s_tile = 2 if dtype == jnp.bfloat16 else 4
+    s_x = s_tile  # the kernel streams X at the tile dtype
+    tile_bytes = block * block * s_tile + block * expected_f * s_x
+    edge_bytes = 2 * expected_f * 4 * scatter_penalty
+    order = np.sort(cnt)
+    # candidate thresholds: each distinct count (+inf == spill everything)
+    cands = np.unique(np.concatenate([order, [order[-1] + 1]]))
+    # suffix sums: edges kept when threshold == c
+    csum = np.cumsum(order)
+    total = csum[-1]
+    best_theta, best_cost = int(cands[-1]), np.inf
+    for theta in cands:
+        k = np.searchsorted(order, theta, side="left")
+        kept_tiles = len(order) - k
+        kept_edges = total - (csum[k - 1] if k > 0 else 0)
+        if kept_tiles * block * block * s_tile > max_tile_bytes:
+            continue
+        cost = kept_tiles * tile_bytes + (e - kept_edges) * edge_bytes
+        if cost < best_cost:
+            best_cost, best_theta = cost, int(theta)
+    return best_theta
+
+
+def bcsr_structure_counts(cols, rows, block, grid_cols):
+    """Structure pass only (no tile fill): delegates to the native helper."""
+    from ..native import bcsr_structure
+
+    return bcsr_structure(cols, rows, block, grid_cols)
 
 
 def _build_half(rows, cols, vals, n, block, dtype=None,

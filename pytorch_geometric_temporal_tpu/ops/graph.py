@@ -311,10 +311,21 @@ def _with_cache(graph: Graph, key, build):
     closed-over constant the results are identical concrete Graphs, and —
     on the large-graph path — each would trigger its own host-side BCSR
     build in :func:`~.spmm.spmm`.  Memoizing the normalized Graph on the
-    source instance collapses that to one build.  Traced graphs are never
-    cached (caching tracers across traces would leak them).  The cache is
-    advisory: it lives outside the pytree and is lost across jit/pytree
-    round-trips, which only costs a rebuild.
+    source instance collapses that to one build.
+
+    Two tracing subtleties:
+
+    - Under this JAX's tracing, ops on concrete *closure* arrays inside a
+      jit trace still produce tracers, which (a) must never be cached
+      (leak across traces) and (b) would make the normalized operator look
+      traced to ``spmm``, silently skipping the BCSR kernel.  So the build
+      runs under ``jax.ensure_compile_time_eval()``: on concrete inputs
+      the result is concrete regardless of the ambient trace.
+    - Traced graphs are never cached; as a final guard, any build whose
+      output still contains tracers is returned un-cached.
+
+    The cache is advisory: it lives outside the pytree and is lost across
+    jit/pytree round-trips, which only costs a rebuild.
     """
     if not _concrete(graph):
         return build()
@@ -324,7 +335,13 @@ def _with_cache(graph: Graph, key, build):
         object.__setattr__(graph, "_op_cache", cache)
     out = cache.get(key)
     if out is None:
-        out = build()
+        with jax.ensure_compile_time_eval():
+            out = build()
+        if any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree_util.tree_leaves(out)
+        ):  # pragma: no cover - belt and braces against tracer leaks
+            return out
         cache[key] = out
     return out
 

@@ -127,7 +127,11 @@ def _auto_bcsr(graph: Graph, x_dtype):
         object.__setattr__(graph, "_op_cache", cache)
     mat = cache.get(key)
     if mat is None:
-        mat = BCSRMatrix.from_graph(graph, dtype=tile_dtype)
+        # ensure_compile_time_eval: under a jit trace, array creation from
+        # the host-built numpy tiles must stay concrete so the cached
+        # operator never holds tracers.
+        with jax.ensure_compile_time_eval():
+            mat = BCSRMatrix.from_graph(graph, dtype=tile_dtype)
         cache[key] = mat
     return mat
 

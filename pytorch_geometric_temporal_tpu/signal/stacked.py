@@ -118,6 +118,68 @@ class StackedSignal:
             graph_dynamic=graph_dynamic,
         )
 
+    @staticmethod
+    def from_arrays(features, targets, edge_indices, edge_weights=None,
+                    num_nodes: Optional[int] = None) -> "StackedSignal":
+        """Raw arrays straight to a scan-ready signal — no signal-iterator
+        or manual ``pad_graphs`` step.
+
+        ``edge_indices``: one (2, E) array for a static graph, or a
+        length-T sequence of ragged (2, E_t) arrays for a dynamic graph —
+        per-step edge lists are padded to a common maximum internally.
+        ``edge_weights`` matches (None means unit weights).  ``features``
+        is (T, N, ...) and ``targets`` (T, ...).
+        """
+        from ..ops.graph import Graph, pad_graphs
+
+        feats = np.asarray(features)
+        targs = np.asarray(targets)
+        T = feats.shape[0]
+        if targs.shape[0] != T:
+            raise ValueError(
+                f"features have {T} steps but targets have {targs.shape[0]}"
+            )
+        dynamic = not (
+            hasattr(edge_indices, "ndim") and np.asarray(edge_indices).ndim == 2
+        )
+        if num_nodes is None:
+            num_nodes = feats.shape[1]
+        if dynamic:
+            if len(edge_indices) != T:
+                raise ValueError(
+                    f"dynamic edge list has {len(edge_indices)} steps, "
+                    f"features have {T}"
+                )
+            graphs = [
+                Graph.from_edge_index(
+                    ei,
+                    None if edge_weights is None else edge_weights[t],
+                    num_nodes=num_nodes,
+                )
+                for t, ei in enumerate(edge_indices)
+            ]
+            graphs = pad_graphs(graphs)
+            senders = jnp.stack([g.senders for g in graphs])
+            receivers = jnp.stack([g.receivers for g in graphs])
+            weights = jnp.stack([g.masked_weights() for g in graphs])
+            num_edges = max(g.num_edges for g in graphs)
+        else:
+            g = Graph.from_edge_index(edge_indices, edge_weights,
+                                      num_nodes=num_nodes)
+            senders, receivers, weights = g.senders, g.receivers, g.weights
+            num_edges = g.num_edges
+        return StackedSignal(
+            features=convert_array(feats),
+            targets=convert_array(targs),
+            senders=senders,
+            receivers=receivers,
+            weights=weights,
+            additional={},
+            num_nodes=int(num_nodes),
+            num_edges=int(num_edges),
+            graph_dynamic=dynamic,
+        )
+
     # ------------------------------------------------------------------
 
     def scan(self, step: Callable, init_carry, unroll: int = 1):

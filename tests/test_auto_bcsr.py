@@ -156,6 +156,41 @@ def test_end_to_end_model_hits_kernel(rng):
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), rtol=2e-5, atol=2e-5)
 
 
+def test_model_inside_jit_no_tracer_leak_and_hits_kernel(rng):
+    """Regression: a jitted training loop over a closed-over concrete graph
+    (bench.py's pattern) must not leak tracers through the norm memo, and
+    the normalized operator must stay concrete so the BCSR path fires
+    INSIDE the trace."""
+    from pytorch_geometric_temporal_tpu.models import DCRNN
+
+    g = _graph(rng, n=400, e=3000)
+    x = jnp.asarray(rng.normal(size=(g.num_nodes, 3)).astype(np.float32))
+    model = DCRNN(out_channels=4, K=2)
+    with config_override(spmm_backend="pallas"):
+        params = model.init(jax.random.PRNGKey(0), x, g)
+
+        @jax.jit
+        def step1(p, xx):
+            return model.apply(p, xx, g).sum()
+
+        a = float(step1(params, x))
+
+        @jax.jit  # a SECOND trace must reuse the cache without leaks
+        def step2(p, xx):
+            return model.apply(p, xx, g).sum() * 2.0
+
+        b = float(step2(params, x))
+    assert np.isfinite(a) and np.isfinite(b)
+    # the memoized normalized operators must be concrete (not tracers)
+    cache = getattr(g, "_op_cache")
+    leaves = jax.tree_util.tree_leaves(list(cache.values()))
+    assert not any(isinstance(l, jax.core.Tracer) for l in leaves)
+    # and the normalized graphs must carry their own BCSR builds (the
+    # kernel fired inside the trace)
+    p_fwd, p_bwd = cache[("diffusion_norms",)]
+    assert getattr(p_fwd, "_op_cache", None), "BCSR did not fire inside jit"
+
+
 def test_bipartite_graph_skips_tiler(rng):
     ei = np.stack([rng.integers(0, 50, 200), rng.integers(0, 30, 200)])
     g = Graph.from_edge_index(ei, num_nodes=30, num_src=50)
