@@ -294,11 +294,21 @@ def _bcsr_matmul_pallas(half: _BCSRHalf, x: jnp.ndarray,
             (BLOCK, f_tile), lambda j, k, rows, cols: (rows[k], j)
         ),
     )
+    # F tiles are independent ('parallel'); the nnzb sweep must stay
+    # in order ('arbitrary') for the revisiting accumulation.  The hint is
+    # worth ~4% on v5e (measured round 2).
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        )
+    except TypeError:  # pragma: no cover - older pallas versions
+        compiler_params = None
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((half.num_rows, f_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        **({"compiler_params": compiler_params} if compiler_params else {}),
     )(half.block_rows, half.block_cols, half.blocks, x)
     # Row blocks no tile ever visits are UNDEFINED memory (the kernel only
     # zero-inits on first visit) — common under the hybrid split where most
@@ -313,10 +323,14 @@ def _bcsr_matmul_pallas(half: _BCSRHalf, x: jnp.ndarray,
 def _remainder(half: _BCSRHalf, x: jnp.ndarray) -> Optional[jnp.ndarray]:
     """COO remainder: edges from sub-threshold blocks (None when empty).
 
-    ``rem_rows`` is sorted at build time (``_build_half``) so the scatter
-    runs with ``indices_are_sorted`` (1.5x, measured v5e).  When tiles are
-    bf16 the gather streams bf16 too (halves the random-read bytes); the
-    scatter accumulates f32 either way.
+    ``rem_rows`` is sorted at build time (``_build_half``) and the scatter
+    passes ``indices_are_sorted``: measured END-TO-END on v5e (round 2,
+    99k remainder edges fused with the tile kernel, F=64) the sorted
+    lowering runs the whole hybrid spmm at 1503us vs 2399us without the
+    flag.  (Isolated micro-benchmarks of the scatter alone point the other
+    way — fusion context matters; trust the end-to-end number.)  When
+    tiles are bf16 the gather streams bf16 too (halves the random-read
+    bytes); the scatter accumulates f32 either way.
     """
     if half.num_rem == 0:
         return None
