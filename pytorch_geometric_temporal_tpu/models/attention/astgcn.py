@@ -36,6 +36,16 @@ uniform_init = nn.initializers.uniform(scale=1.0)
 
 def _lhat_dense(graph: Graph, normalization: Optional[str]) -> jnp.ndarray:
     """Dense scaled Laplacian L̂[i, j] for ChebConvAttention."""
+    if graph.num_nodes > 8192:
+        raise ValueError(
+            f"ChebConvAttention/ASTGCN materializes the (N, N) scaled "
+            f"Laplacian AND a per-batch (B, N, N) spatial attention — "
+            f"O(N²) memory; N={graph.num_nodes} is past any sensible "
+            "dense size. The spatial attention itself is dense by design "
+            "(reference datasets have N <= 325); partition the graph or "
+            "use a non-attention model (MSTGCN dense blocks have the same "
+            "limit) for large N."
+        )
     g = graph.remove_self_loops()
     if normalization == "sym":
         lam = None

@@ -265,6 +265,15 @@ class AVWGCN(nn.Module):
     def __call__(self, x, e):
         # e: (N, D) node embeddings
         n = e.shape[0]
+        if n > 8192:
+            raise ValueError(
+                f"AVWGCN/AGCRN materializes a learned (K, N, N) dense "
+                f"support — O(N²) memory; N={n} would allocate "
+                f"{self.K * n * n * 4 / 2**30:.1f} GiB. This model family "
+                "is designed for small sensor graphs (reference datasets "
+                "have N <= 325); there is no sparse form of its learned "
+                "softmax adjacency."
+            )
         supports = jax.nn.softmax(nn.relu(e @ e.T), axis=1)
         support_set = [jnp.eye(n, dtype=x.dtype), supports]
         for _ in range(2, self.K):

@@ -114,11 +114,19 @@ class Graph:
         # Host-side cache for preprocessing (BCSR/partition builders):
         # avoids device->host round trips, which can dominate on remote
         # devices.  Not part of the pytree; lost across jit boundaries.
+        # Read-only: shared by every later builder (see host_edges()).
+        for a in (senders, receivers, weights):
+            a.flags.writeable = False
         object.__setattr__(g, "_host_edges", (senders, receivers, weights))
         return g
 
     def host_edges(self):
-        """(senders, receivers, weights) as numpy, fetched at most once."""
+        """(senders, receivers, weights) as numpy, fetched at most once.
+
+        The returned arrays are marked read-only: they are a shared cache
+        on this (frozen) Graph, and callers mutating them would silently
+        corrupt every later BCSR/partition build.  Copy before editing.
+        """
         cached = getattr(self, "_host_edges", None)
         if cached is None:
             cached = (
@@ -126,6 +134,9 @@ class Graph:
                 np.asarray(self.receivers),
                 np.asarray(self.weights),
             )
+            for a in cached:
+                if a.flags.writeable:  # np.asarray of device arrays may
+                    a.flags.writeable = False  # already be read-only
             object.__setattr__(self, "_host_edges", cached)
         return cached
 

@@ -95,6 +95,35 @@ def test_aagcn_checks_layout(rng):
         m.init(jax.random.PRNGKey(0), jnp.zeros((2, 3, 5, 9)))
 
 
+def test_dense_only_models_guard_large_n(rng):
+    """AVWGCN/AGCRN and ChebConvAttention are O(N²) by design — past any
+    dense-sensible N they must refuse with an explanation, not OOM."""
+    from pytorch_geometric_temporal_tpu.models import AGCRN
+    from pytorch_geometric_temporal_tpu.models.attention.astgcn import (
+        _lhat_dense,
+    )
+
+    n = 10_000
+    m = AGCRN(number_of_nodes=n, out_channels=2, K=2, embedding_dimensions=3)
+    with pytest.raises(ValueError, match="O\\(N²\\) memory"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, n, 2)),
+               jnp.zeros((n, 3)))
+    big = Graph.from_edge_index(
+        np.stack([np.arange(n), (np.arange(n) + 1) % n]), num_nodes=n
+    )
+    with pytest.raises(ValueError, match="O\\(N²\\) memory"):
+        _lhat_dense(big, "sym")
+
+
+def test_host_edges_cache_is_read_only(rng):
+    g = _graph(rng)
+    s, r, w = g.host_edges()
+    with pytest.raises(ValueError):
+        s[0] = 99
+    with pytest.raises(ValueError):
+        w[0] = 99.0
+
+
 # ---------------------------------------------------------------------------
 # StackedSignal.from_arrays — dynamic-edge UX helper
 # ---------------------------------------------------------------------------
