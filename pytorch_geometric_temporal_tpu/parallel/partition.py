@@ -197,18 +197,26 @@ class PartitionedGraph:
             partitioned_by=by,
         )
 
-    def pad_features(self, x) -> jnp.ndarray:
-        """Pad (N, F) node features to (P·nodes_per_part, F)."""
-        pad = self.padded_nodes - x.shape[-2]
+    def pad_features(self, x, node_axis: int = -2) -> jnp.ndarray:
+        """Pad node features to P·nodes_per_part along ``node_axis``.
+
+        Default -2 fits the (..., N, F) model layout; node-leading
+        partitioned models pass ``node_axis=0`` for (N_pad, B, F).
+        """
+        axis = node_axis % x.ndim
+        pad = self.padded_nodes - x.shape[axis]
         if pad == 0:
             return x
-        widths = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
         return jnp.pad(x, widths)
 
-    def shard_features(self, x, mesh: Mesh, axis_name: str = "graph"):
-        """Pad + place (N, F) features sharded over the node axis."""
-        xp = self.pad_features(x)
-        spec = [None] * (xp.ndim - 2) + [axis_name, None]
+    def shard_features(self, x, mesh: Mesh, axis_name: str = "graph",
+                       node_axis: int = -2):
+        """Pad + place node features sharded over the node axis."""
+        xp = self.pad_features(x, node_axis)
+        spec = [None] * xp.ndim
+        spec[node_axis % xp.ndim] = axis_name
         return jax.device_put(xp, NamedSharding(mesh, PartitionSpec(*spec)))
 
 
@@ -243,6 +251,17 @@ def spmm_partitioned(
     from jax import shard_map
 
     npp = pgraph.nodes_per_part
+
+    # Arbitrary trailing feature dims: the aggregation is linear over
+    # features, so (N_pad, B, C, ...) flattens to (N_pad, B·C·...) — a
+    # free reshape (the sharded node axis is untouched).  This is what
+    # lets node-leading partitioned MODELS (x laid out (N_pad, B, C))
+    # reuse the rank-2 exchange kernels.
+    trailing = x.shape[1:]
+    if x.ndim != 2:
+        x = x.reshape(x.shape[0], -1)
+        out = spmm_partitioned(pgraph, x, mesh, axis_name, exchange)
+        return out.reshape((out.shape[0],) + trailing)
 
     spec_e = PartitionSpec(axis_name, None)
     spec_x = PartitionSpec(axis_name, None)
