@@ -86,6 +86,7 @@ PAGES = {
         "pytorch_geometric_temporal_tpu.parallel.mesh",
         "pytorch_geometric_temporal_tpu.parallel.data_parallel",
         "pytorch_geometric_temporal_tpu.parallel.partition",
+        "pytorch_geometric_temporal_tpu.parallel.partitioned_dcrnn",
         "pytorch_geometric_temporal_tpu.parallel.multihost",
     ],
     "utils": [
