@@ -10,7 +10,10 @@ aggregation backend per-graph:
                 matmuls.  Default for ``num_nodes <= dense_threshold``.
 - ``segment`` : gather + ``segment_sum``.  Portable reference path; used for
                 large graphs and on CPU.
-- ``pallas``  : blocked ELL SpMM Pallas kernel for large graphs on TPU.
+- ``pallas``  : hybrid block-sparse SpMM for large graphs on TPU — dense
+                128x128 BCSR tiles on the MXU via a Pallas kernel, with
+                edges from sub-threshold blocks spilled to a COO remainder
+                (see ``ops/bcsr.py``).
 
 The reference framework (PyTorch Geometric Temporal) always uses scatter-based
 message passing (torch_geometric MessagePassing.propagate); this module is the

@@ -11,11 +11,13 @@ import numpy as np
 import pytest
 
 from pytorch_geometric_temporal_tpu.data import ChickenpoxDatasetLoader
-from pytorch_geometric_temporal_tpu.data._io import find_file
+from pytorch_geometric_temporal_tpu.data._io import available
 from pytorch_geometric_temporal_tpu.ops import BCSRMatrix, Graph, spmm, spmm_segment
 
+# `available` also sees the package-bundled copy (data/_io.py), so this
+# golden test runs offline instead of silently skipping.
 needs_chickenpox = pytest.mark.skipif(
-    find_file("chickenpox.json") is None, reason="chickenpox.json not staged"
+    not available("chickenpox.json"), reason="chickenpox.json unavailable"
 )
 
 

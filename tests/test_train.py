@@ -14,7 +14,7 @@ import optax
 import pytest
 
 from pytorch_geometric_temporal_tpu.data import ChickenpoxDatasetLoader
-from pytorch_geometric_temporal_tpu.data._io import find_file
+from pytorch_geometric_temporal_tpu.data._io import available
 from pytorch_geometric_temporal_tpu.models import GConvGRU
 from pytorch_geometric_temporal_tpu.signal import (
     StackedSignal,
@@ -28,8 +28,11 @@ from pytorch_geometric_temporal_tpu.train import (
     mse,
 )
 
+# Gate on `available` (staged OR package-bundled), not `find_file` (staged
+# only): chickenpox.json ships bundled in-package, so these e2e tests must
+# run in zero-egress environments too.
 needs_chickenpox = pytest.mark.skipif(
-    find_file("chickenpox.json") is None, reason="chickenpox.json not staged"
+    not available("chickenpox.json"), reason="chickenpox.json unavailable"
 )
 
 
