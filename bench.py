@@ -84,24 +84,37 @@ def bench_jax(ei, w, x_np, y_np):
         return masked_mae_loss(pred * std + mean, y * std + mean)
 
     @jax.jit
-    def run(p, st):
+    def run(p, st, n):
         def body(_, carry):
             p, st = carry
             loss, grads = jax.value_and_grad(loss_fn)(p)
             up, st = opt.update(grads, st)
             return optax.apply_updates(p, up), st
 
-        p, st = jax.lax.fori_loop(0, STEPS, body, (p, st))
+        p, st = jax.lax.fori_loop(0, n, body, (p, st))
         return p, st, loss_fn(p)
 
+    # Dispatch-corrected timing: this platform's remote tunnel adds a FIXED
+    # ~25 ms per execution (measured constant from 1 to 1000 fori_loop
+    # iterations), so the executable is timed at two loop lengths (one
+    # compile — the bound is traced) and the slope taken.
+    lo = STEPS // 5
     st = opt.init(params)
-    params, st, _ = run(params, st)  # compile + warm
+    params, st, _ = run(params, st, STEPS)  # compile + warm
     jax.block_until_ready(params)
-    t0 = time.perf_counter()
-    params, st, loss = run(params, st)
-    jax.block_until_ready(params)
-    dt = time.perf_counter() - t0
-    return STEPS * B * T / dt, float(loss)
+    t_hi = t_lo = float("inf")
+    loss = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, st, loss = run(params, st, STEPS)
+        jax.block_until_ready(params)
+        t_hi = min(t_hi, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        params, st, loss = run(params, st, lo)
+        jax.block_until_ready(params)
+        t_lo = min(t_lo, time.perf_counter() - t0)
+    dt = (t_hi - t_lo) / (STEPS - lo)
+    return B * T / dt, float(loss)
 
 
 def bench_torch_cpu(ei, w, x_np, y_np, steps=3):
@@ -233,7 +246,7 @@ def bench_accuracy_chickenpox(epochs=200):
     return test_mse, test_mae
 
 
-def bench_kernel_edges(n=50_000, deg=40, f=64, band=96, iters=50):
+def bench_kernel_edges(n=50_000, deg=40, f=64, band=96, iters=400):
     """Hybrid-BCSR kernel throughput on a banded 50k-node graph.
 
     Returns (edges/s, segment edges/s, MFU %).  MFU counts the FLOPs the
@@ -262,21 +275,15 @@ def bench_kernel_edges(n=50_000, deg=40, f=64, band=96, iters=50):
                                 min_block_edges="auto", expected_f=f)
     x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
 
-    def timed(fn):
-        @jax.jit
-        def run(x0):
-            return jax.lax.fori_loop(0, iters, lambda i, a: fn(a), x0).sum()
+    from pytorch_geometric_temporal_tpu.utils.profiling import (
+        device_time_per_iter,
+    )
 
-        float(run(x))  # compile + pipeline fill
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(x))
-            best = min(best, time.perf_counter() - t0)
-        return best / iters
+    def timed(fn, n_iters):
+        return device_time_per_iter(fn, x, iters=n_iters)
 
-    dt_bcsr = timed(lambda a: bcsr_spmm(mat, a))
-    dt_seg = timed(lambda a: spmm_segment(g, a))
+    dt_bcsr = timed(lambda a: bcsr_spmm(mat, a), iters)
+    dt_seg = timed(lambda a: spmm_segment(g, a), max(iters // 4, 20))
     tile_flops = mat.fwd.nnzb * 2 * 128 * 128 * f
     mfu = tile_flops / dt_bcsr / 197e12 * 100.0
     return e / dt_bcsr, e / dt_seg, mfu

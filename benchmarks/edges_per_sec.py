@@ -65,31 +65,21 @@ def make_banded_graph(rng, n, avg_deg, cross_frac=0.05, band=96):
     return np.stack([s, r]), w
 
 
-def time_fn(fn, x, iters=100, reps=5):
-    """Median seconds per application of ``fn`` (shape-preserving).
+def time_fn(fn, x, iters=400, reps=3):
+    """Dispatch-corrected seconds per application of ``fn``.
 
-    The iteration loop lives INSIDE one jit and the result is synced by
-    fetching a scalar: on the remote-TPU (axon) platform per-dispatch
-    latency is high and ``block_until_ready`` can return before the device
-    finishes, so host-fetching a reduction is the only reliable fence.
-    ``fn`` must be non-expanding (row-normalized operator) so the carried
-    value stays finite across the loop.
+    Delegates to :func:`~...utils.profiling.device_time_per_iter`: the
+    remote-TPU (axon) platform adds a FIXED ~25 ms per execution, so the
+    loop is timed at two lengths inside one compiled executable and the
+    slope taken — the fixed overhead cancels exactly.  ``fn`` must be
+    non-expanding (row-normalized operator) so the carried value stays
+    finite across the loop.
     """
-    import jax
+    from pytorch_geometric_temporal_tpu.utils.profiling import (
+        device_time_per_iter,
+    )
 
-    @jax.jit
-    def run(x0):
-        out = jax.lax.fori_loop(0, iters, lambda i, a: fn(a), x0)
-        return out.sum()
-
-    float(run(x))  # compile + pipeline fill
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(run(x))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2] / iters
+    return device_time_per_iter(fn, x, iters=iters, reps=reps)
 
 
 def emit(metric, value, unit, baseline=None):
@@ -180,16 +170,12 @@ def main():
     pg = prepare_graph(g, kinds=("diffusion",), dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), xm, pg)
 
-    @jax.jit
-    def fwd(p_, xx, graph):
-        return model.apply(p_, xx, graph)
-
-    float(fwd(params, xm, pg).sum())  # compile
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        float(fwd(params, xm, pg).sum())
-    dt = (time.perf_counter() - t0) / reps
+    # out_channels == in feats, so the forward is shape-preserving and can
+    # carry through the dispatch-corrected timing loop.
+    dt = time_fn(
+        lambda xx: model.apply(params, xx, pg) * 0.5 + xx * 0.5,
+        xm, iters=60,
+    )
     spmms_per_step = 2 * 2 * (K - 1)
     emit("dcrnn_prepared_graph_model_edges_per_sec",
          e * spmms_per_step * T / dt, "edges/s")

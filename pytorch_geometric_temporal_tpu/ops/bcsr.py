@@ -1,4 +1,4 @@
-"""Block-sparse (BCSR) matrices + Pallas TPU SpMM kernel.
+"""Block-sparse (BCSR) matrices + Pallas TPU SpMM kernels.
 
 For graphs past the dense threshold (e.g. all-California PeMS, 11160 nodes —
 reference ``examples/indexBatching/DCRNN/pems_main.py:142``) a dense (N, N)
@@ -7,16 +7,29 @@ are locally clustered, so tiling the aggregation matrix ``M[r, s] = w(s→r)``
 into 128×128 blocks and storing only nonzero blocks cuts that traffic by the
 block sparsity while every FLOP still lands on the MXU.
 
-- :class:`BCSRMatrix` is built host-side from a :class:`~.graph.Graph`
-  (sorting the edge list by (row-block, col-block)).
-- :func:`bcsr_spmm` runs a Pallas kernel with scalar-prefetched block
-  indices: grid over nonzero blocks (sorted by row-block), the output block
-  stays resident in VMEM across consecutive same-row steps (revisiting
-  accumulation), and X column-blocks stream in via the BlockSpec pipeline.
-- Gradients: custom VJP using the transposed BCSR structure (built at
-  construction), so ``d/dX spmm(M, X) = spmm(Mᵀ, ḡ)`` is another kernel
-  call.  Block *values* are treated as constants (normalized adjacencies are
-  not trained in this model family).
+Two Pallas kernels cover the hybrid operator:
+
+- **Tile kernel**: grid over nonzero blocks (sorted by row-block) with
+  scalar-prefetched block indices; the output block stays resident in VMEM
+  across consecutive same-row steps (revisiting accumulation) and X
+  column-blocks stream in via the BlockSpec pipeline.  One leading dummy
+  step per *uncovered* row block (pointing at a shared zero tile)
+  guarantees every output block is written — no undefined memory, no
+  select-mask epilogue.
+- **Remainder scatter kernel**: edges from sub-threshold blocks (the COO
+  remainder) are grouped by row block into fixed-size chunks; their source
+  rows are gathered by XLA (``x[rem_cols]``), and the scatter-accumulate —
+  the measured bottleneck of ``jax.ops.segment_sum`` on TPU, which is
+  per-row latency-bound — becomes a per-chunk MXU matmul
+  ``onehot(local_rows)·vals @ msgs`` accumulated into the VMEM-resident
+  output block.  The tile kernel's output is threaded through via
+  ``input_output_aliases`` so row blocks without remainder edges keep
+  their tile values with zero extra traffic.
+
+Gradients: custom VJP using the transposed BCSR structure (built at
+construction), so ``d/dX spmm(M, X) = spmm(Mᵀ, ḡ)`` is another kernel
+call.  Block *values* are treated as constants (normalized adjacencies are
+not trained in this model family).
 """
 
 from __future__ import annotations
@@ -32,6 +45,9 @@ import numpy as np
 from .graph import Graph
 
 BLOCK = 128
+# remainder edges per scatter-kernel step (one (BLOCK, REM_K) x (REM_K, F)
+# MXU matmul each); per-row-block padding waste averages REM_K/2 edges.
+REM_K = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -41,7 +57,8 @@ def _round_up(x: int, m: int) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["blocks", "block_rows", "block_cols",
-                 "rem_rows", "rem_cols", "rem_vals"],
+                 "step_rows", "step_cols", "step_bidx",
+                 "rem_cols", "rem_vals", "rem_lrows", "rem_step_rb"],
     meta_fields=["num_rows", "num_cols", "nnzb", "num_rem"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -50,21 +67,43 @@ class _BCSRHalf:
 
     Blocks with at least ``min_block_edges`` edges are stored dense (the
     MXU path); edges landing in sparser blocks spill to a COO *remainder*
-    handled by gather+segment-sum.  Without the split, a handful of
-    long-range edges each allocate a whole 128×128 tile and block HBM
-    traffic dwarfs the useful bytes (0.6% in-tile occupancy measured on a
-    clustered 50k/2M graph with 1% random edges)."""
+    handled by the gather + one-hot-matmul scatter kernel.  Without the
+    split, a handful of long-range edges each allocate a whole 128×128
+    tile and block HBM traffic dwarfs the useful bytes (0.6% in-tile
+    occupancy measured on a clustered 50k/2M graph with 1% random edges).
 
-    blocks: jnp.ndarray      # (nnzb, BLOCK, BLOCK) dense nonzero tiles
-    block_rows: jnp.ndarray  # (nnzb,) int32, sorted ascending
-    block_cols: jnp.ndarray  # (nnzb,) int32
-    rem_rows: jnp.ndarray    # (num_rem,) int32 remainder COO
-    rem_cols: jnp.ndarray    # (num_rem,) int32
-    rem_vals: jnp.ndarray    # (num_rem,) f32
-    num_rows: int            # padded row count (multiple of BLOCK)
+    Tile fields: ``blocks`` holds the ``nnzb`` real tiles plus ONE trailing
+    all-zero tile (index ``nnzb``) used by dummy steps; ``step_*`` arrays
+    drive the kernel grid — real tiles in row-sorted order interleaved
+    with one dummy step per row block no tile covers.
+
+    Remainder fields (padded per row block to a multiple of ``REM_K``):
+    ``rem_cols`` (P,) gather sources, ``rem_vals``/``rem_lrows``
+    (S_r, REM_K) per-chunk edge values / within-block row ids,
+    ``rem_step_rb`` (S_r,) the row block each chunk accumulates into.
+    Padding edges have val 0 (col 0, lrow 0) so they contribute nothing.
+    """
+
+    blocks: jnp.ndarray       # (nnzb + 1, BLOCK, BLOCK); [-1] is all-zero
+    block_rows: jnp.ndarray   # (nnzb,) int32, sorted ascending (real tiles)
+    block_cols: jnp.ndarray   # (nnzb,) int32
+    step_rows: jnp.ndarray    # (S,) int32 kernel-step row blocks, sorted
+    step_cols: jnp.ndarray    # (S,) int32
+    step_bidx: jnp.ndarray    # (S,) int32 index into blocks (nnzb = dummy)
+    rem_cols: jnp.ndarray     # (S_r * REM_K,) int32 gather sources
+    rem_vals: jnp.ndarray     # (S_r, REM_K) f32 edge values (0 = padding)
+    rem_lrows: jnp.ndarray    # (S_r, REM_K) int32 row within the row block
+    rem_step_rb: jnp.ndarray  # (S_r,) int32 row block per chunk, sorted
+    num_rows: int             # padded row count (multiple of BLOCK)
     num_cols: int
-    nnzb: int
-    num_rem: int
+    nnzb: int                 # real tile count (may be 0)
+    num_rem: int              # real remainder edge count (may be 0)
+
+    @property
+    def rem_rows(self) -> jnp.ndarray:
+        """(S_r * REM_K,) int32 global row ids (derived; XLA fallback)."""
+        return (self.rem_step_rb[:, None] * BLOCK
+                + self.rem_lrows).reshape(-1)
 
 
 @partial(
@@ -129,10 +168,9 @@ def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
     - a kept tile costs ``block² · s_tile``  (tile read) plus
       ``block · F · s_x`` (the X tile it multiplies),
     - a spilled edge costs ``2 · F · s_x · scatter_penalty`` — gather +
-      scatter-accumulate bytes inflated by the VPU scatter's measured
-      inefficiency (calibrated on v5e: the segment path runs ~13× below
-      the bandwidth roofline at F=64, matching the observed ~10-edge
-      break-even).
+      scatter-accumulate bytes inflated by the measured per-row gather
+      latency (random-row gathers run far below the bandwidth roofline;
+      see ``benchmarks/bcsr_breakdown.py``).
 
     For every candidate threshold θ (the distinct occupancy counts), total
     cost = kept_tiles(θ)·tile_bytes + spilled_edges(θ)·edge_bytes, subject
@@ -179,95 +217,170 @@ def bcsr_structure_counts(cols, rows, block, grid_cols):
     return bcsr_structure(cols, rows, block, grid_cols)
 
 
+def _build_remainder(rows, cols, vals, nb, block):
+    """Group remainder edges by row block into REM_K-edge padded chunks.
+
+    Returns (rem_cols, rem_vals, rem_lrows, rem_step_rb) with one chunk
+    per (row block, REM_K window); only row blocks that have remainder
+    edges get chunks (the scatter kernel's aliased output leaves the rest
+    untouched).  Edges arrive row-sorted; padding edges (val 0) trail
+    inside each chunk.
+    """
+    # sort by (row block, col): the gather of x[rem_cols] then walks each
+    # chunk's source rows in ascending address order (locality for the
+    # XLA row-gather)
+    order = np.lexsort((cols, rows // block))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    rb_of_edge = rows // block
+    rbs, counts = np.unique(rb_of_edge, return_counts=True)
+    chunks_per_rb = -(-counts // REM_K)
+    s_r = int(chunks_per_rb.sum())
+    p = s_r * REM_K
+    rem_cols = np.zeros((p,), np.int32)
+    rem_vals = np.zeros((p,), np.float32)
+    rem_lrows = np.zeros((p,), np.int32)
+    rem_step_rb = np.repeat(rbs, chunks_per_rb).astype(np.int32)
+    src = 0
+    dst = 0
+    for rb, cnt, nch in zip(rbs, counts, chunks_per_rb):
+        rem_cols[dst:dst + cnt] = cols[src:src + cnt]
+        rem_vals[dst:dst + cnt] = vals[src:src + cnt]
+        rem_lrows[dst:dst + cnt] = rows[src:src + cnt] - rb * block
+        src += cnt
+        dst += nch * REM_K
+    return (rem_cols, rem_vals.reshape(s_r, REM_K),
+            rem_lrows.reshape(s_r, REM_K), rem_step_rb)
+
+
+def _build_steps(block_rows, block_cols, nb):
+    """Kernel step list: real tiles + one dummy (zero-tile) step per row
+    block no tile covers, merged in row-sorted order."""
+    nnzb = len(block_rows)
+    covered = np.zeros((nb,), bool)
+    covered[block_rows] = True
+    miss = np.nonzero(~covered)[0].astype(np.int32)
+    step_rows = np.concatenate([block_rows, miss])
+    step_cols = np.concatenate([block_cols,
+                                np.zeros(len(miss), np.int32)])
+    step_bidx = np.concatenate([
+        np.arange(nnzb, dtype=np.int32),
+        np.full(len(miss), nnzb, np.int32),
+    ])
+    order = np.argsort(step_rows, kind="stable")
+    return step_rows[order], step_cols[order], step_bidx[order]
+
+
 def _build_half(rows, cols, vals, n, block, dtype=None,
                 min_block_edges: int = 0) -> _BCSRHalf:
     from ..native import bcsr_fill, bcsr_structure
 
     n_pad = _round_up(max(n, 1), block)
-    grid_cols = n_pad // block
+    nb = n_pad // block
+    grid_cols = nb
     # sender=cols (within-block col index), receiver=rows (row index)
-    nnzb_real, block_of_edge, block_rows, block_cols = bcsr_structure(
+    nnzb, block_of_edge, block_rows, block_cols = bcsr_structure(
         cols, rows, block, grid_cols
     )
 
-    rem_rows = np.zeros((1,), np.int32)
-    rem_cols = np.zeros((1,), np.int32)
-    rem_vals = np.zeros((1,), np.float32)
+    rem = (np.zeros((0,), np.int32), np.zeros((0, REM_K), np.float32),
+           np.zeros((0, REM_K), np.int32), np.zeros((0,), np.int32))
     num_rem = 0
-    if min_block_edges > 1 and nnzb_real > 0:
-        cnt = np.bincount(block_of_edge, minlength=nnzb_real)
+    if min_block_edges > 1 and nnzb > 0:
+        cnt = np.bincount(block_of_edge, minlength=nnzb)
         edge_is_sparse = (cnt < min_block_edges)[block_of_edge]
         num_rem = int(edge_is_sparse.sum())
         if num_rem:
-            rem_rows = rows[edge_is_sparse].astype(np.int32)
-            rem_cols = cols[edge_is_sparse].astype(np.int32)
-            rem_vals = vals[edge_is_sparse].astype(np.float32)
-            # invariant: remainder sorted by row — lets the scatter use
-            # indices_are_sorted (1.5x on the segment_sum, measured v5e)
-            order = np.argsort(rem_rows, kind="stable")
-            rem_rows = rem_rows[order]
-            rem_cols = rem_cols[order]
-            rem_vals = rem_vals[order]
+            rem = _build_remainder(
+                rows[edge_is_sparse].astype(np.int32),
+                cols[edge_is_sparse].astype(np.int32),
+                vals[edge_is_sparse].astype(np.float32),
+                nb, block,
+            )
             keep = ~edge_is_sparse
             rows, cols, vals = rows[keep], cols[keep], vals[keep]
-            nnzb_real, block_of_edge, block_rows, block_cols = (
+            nnzb, block_of_edge, block_rows, block_cols = (
                 bcsr_structure(cols, rows, block, grid_cols)
             )
 
-    nnzb = max(nnzb_real, 1)
-    if nnzb_real == 0:
-        # all edges spilled (or empty graph): keep one all-zero placeholder
-        # tile at (0, 0) so blocks/block_rows/block_cols shapes stay
-        # consistent (contributes nothing).
-        block_rows = np.zeros((1,), np.int32)
-        block_cols = np.zeros((1,), np.int32)
-    blocks = bcsr_fill(cols, rows, vals, block_of_edge, block, nnzb)
+    if nnzb == 0:
+        block_rows = np.zeros((0,), np.int32)
+        block_cols = np.zeros((0,), np.int32)
+    tiles = bcsr_fill(cols, rows, vals, block_of_edge, block, max(nnzb, 1))
+    if nnzb == 0:
+        tiles = tiles[:0]
+    # trailing all-zero tile for dummy steps
+    blocks = np.concatenate(
+        [tiles, np.zeros((1, block, block), tiles.dtype)], axis=0
+    )
     if dtype is not None:
         blocks = blocks.astype(dtype)
-    if nnzb_real == 0:
-        block_rows = np.zeros((1,), np.int32)
-        block_cols = np.zeros((1,), np.int32)
+    step_rows, step_cols, step_bidx = _build_steps(block_rows, block_cols, nb)
+    rem_cols, rem_vals, rem_lrows, rem_step_rb = rem
     return _BCSRHalf(
         blocks=jnp.asarray(blocks),
         block_rows=jnp.asarray(block_rows),
         block_cols=jnp.asarray(block_cols),
-        rem_rows=jnp.asarray(rem_rows),
+        step_rows=jnp.asarray(step_rows),
+        step_cols=jnp.asarray(step_cols),
+        step_bidx=jnp.asarray(step_bidx),
         rem_cols=jnp.asarray(rem_cols),
         rem_vals=jnp.asarray(rem_vals),
+        rem_lrows=jnp.asarray(rem_lrows),
+        rem_step_rb=jnp.asarray(rem_step_rb),
         num_rows=n_pad,
         num_cols=n_pad,
-        nnzb=nnzb,
+        nnzb=int(nnzb),
         num_rem=num_rem,
     )
 
 
-def _bcsr_matmul_pallas(half: _BCSRHalf, x: jnp.ndarray,
-                        interpret: bool = False,
-                        f_tile: int = 512) -> jnp.ndarray:
-    """out (num_rows, F) = Σ_blocks block @ x[col_block]; x: (num_cols, F).
+def _f_layout(x, f_tile):
+    """Feature-axis tiling; returns (x, f_pad, f_tiles, f_tile).
 
-    Grid: (F_tiles, nnzb) — F outermost so that, per F tile, the nonzero
-    blocks sweep in row-sorted order and the output tile stays VMEM-resident
-    across consecutive same-row steps (revisiting accumulation).  Wide
-    feature matrices are tiled at ``f_tile`` columns to bound VMEM.
+    For f <= 128 the array is NOT padded: Mosaic accepts a block whose
+    last dim equals the full array dim, and at the bench's f=64 padding to
+    128 lanes would double every byte of gather/scatter/output traffic for
+    zeros (measured ~25% end-to-end on the 50k hybrid).  Wider features
+    tile at ``f_tile`` (128-aligned) to bound VMEM.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     f = x.shape[-1]
+    if f <= 128:
+        return x, f, 1, f
     f_pad = _round_up(f, 128)
     f_tile = min(_round_up(f_tile, 128), f_pad)
     if f_pad % f_tile:
         f_pad = _round_up(f_pad, f_tile)
     if f_pad != f:
         x = jnp.pad(x, ((0, 0), (0, f_pad - f)))
-    f_tiles = f_pad // f_tile
-    if half.blocks.dtype == jnp.bfloat16:
-        # bf16 tiles ⇒ stream bf16 feature tiles too (halves x traffic);
-        # the MXU multiplies bf16×bf16 natively, accumulation stays f32.
-        x = x.astype(jnp.bfloat16)
+    return x, f_pad, f_pad // f_tile, f_tile
 
-    def kernel(rows_ref, cols_ref, blocks_ref, x_ref, o_ref):
+
+def _compiler_params():
+    # F tiles are independent ('parallel'); the step sweep must stay in
+    # order ('arbitrary') for the revisiting accumulation.
+    from jax.experimental.pallas import tpu as pltpu
+
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        )
+    except TypeError:  # pragma: no cover - older pallas versions
+        return None
+
+
+def _tile_kernel_call(half: _BCSRHalf, x: jnp.ndarray, f_pad: int,
+                      f_tiles: int, f_tile: int, interpret: bool):
+    """out (num_rows, f_pad) f32 = Σ_steps blocks[bidx] @ x[col_block].
+
+    Grid: (f_tiles, S) — F outermost so that, per F tile, the steps sweep
+    in row-sorted order and the output tile stays VMEM-resident across
+    consecutive same-row steps.  Dummy steps (bidx == nnzb, the zero tile)
+    zero-define row blocks no tile covers.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(rows_ref, cols_ref, bidx_ref, blocks_ref, x_ref, o_ref):
         k = pl.program_id(1)
         prev = rows_ref[jnp.maximum(k - 1, 0)]
         is_first = jnp.logical_or(k == 0, rows_ref[k] != prev)
@@ -282,75 +395,133 @@ def _bcsr_matmul_pallas(half: _BCSRHalf, x: jnp.ndarray,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(f_tiles, half.nnzb),
+        num_scalar_prefetch=3,
+        grid=(f_tiles, half.step_rows.shape[0]),
         in_specs=[
             pl.BlockSpec((1, BLOCK, BLOCK),
-                         lambda j, k, rows, cols: (k, 0, 0)),
+                         lambda j, k, rows, cols, bidx: (bidx[k], 0, 0)),
             pl.BlockSpec((BLOCK, f_tile),
-                         lambda j, k, rows, cols: (cols[k], j)),
+                         lambda j, k, rows, cols, bidx: (cols[k], j)),
         ],
         out_specs=pl.BlockSpec(
-            (BLOCK, f_tile), lambda j, k, rows, cols: (rows[k], j)
+            (BLOCK, f_tile), lambda j, k, rows, cols, bidx: (rows[k], j)
         ),
     )
-    # F tiles are independent ('parallel'); the nnzb sweep must stay
-    # in order ('arbitrary') for the revisiting accumulation.  The hint is
-    # worth ~4% on v5e (measured round 2).
-    try:
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
-        )
-    except TypeError:  # pragma: no cover - older pallas versions
-        compiler_params = None
-    out = pl.pallas_call(
+    cp = _compiler_params()
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((half.num_rows, f_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-        **({"compiler_params": compiler_params} if compiler_params else {}),
-    )(half.block_rows, half.block_cols, half.blocks, x)
-    # Row blocks no tile ever visits are UNDEFINED memory (the kernel only
-    # zero-inits on first visit) — common under the hybrid split where most
-    # rows live in the COO remainder.  Select-zero them (where, not multiply:
-    # the garbage can be NaN).
-    nb = half.num_rows // BLOCK
-    covered = jnp.zeros((nb,), jnp.bool_).at[half.block_rows].set(True)
-    out = jnp.where(jnp.repeat(covered, BLOCK)[:, None], out, 0.0)
+        **({"compiler_params": cp} if cp else {}),
+    )(half.step_rows, half.step_cols, half.step_bidx, half.blocks, x)
+
+
+def _rem_scatter_call(half: _BCSRHalf, xg: jnp.ndarray, base: jnp.ndarray,
+                      f_pad: int, f_tiles: int, f_tile: int,
+                      interpret: bool):
+    """base += scatter(remainder) via one-hot MXU matmuls.
+
+    ``xg`` (S_r·REM_K, f_pad) are the gathered source rows (XLA gather —
+    fast at row granularity); the scatter-accumulate that stalls
+    ``segment_sum`` becomes ``onehot(lrows)·vals @ xg_chunk`` per chunk,
+    accumulated in the VMEM-resident output block.  ``base`` (the tile
+    kernel's output) is aliased to the output, so row blocks without
+    remainder chunks keep their values with no copy traffic.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dt = xg.dtype
+
+    def kernel(rb_ref, xg_ref, lrows_ref, lvals_ref, base_ref, o_ref):
+        k = pl.program_id(1)
+        prev = rb_ref[jnp.maximum(k - 1, 0)]
+        is_first = jnp.logical_or(k == 0, rb_ref[k] != prev)
+
+        @pl.when(is_first)
+        def _():
+            o_ref[:] = base_ref[:]
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, REM_K), 0)
+        onehot = jnp.where(row_ids == lrows_ref[0, 0][None, :],
+                           lvals_ref[0, 0][None, :], 0.0)
+        o_ref[:] += jnp.dot(onehot.astype(dt), xg_ref[:],
+                            preferred_element_type=jnp.float32)
+
+    s_r = half.rem_step_rb.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f_tiles, s_r),
+        in_specs=[
+            pl.BlockSpec((REM_K, f_tile), lambda j, k, rb: (k, j)),
+            # (1, 1, REM_K) blocks: TPU lowering requires the last two
+            # block dims be (8k, 128k)-divisible OR equal to the array
+            # dims — the leading-1 3D layout satisfies the latter.
+            pl.BlockSpec((1, 1, REM_K), lambda j, k, rb: (k, 0, 0)),
+            pl.BlockSpec((1, 1, REM_K), lambda j, k, rb: (k, 0, 0)),
+            pl.BlockSpec((BLOCK, f_tile), lambda j, k, rb: (rb[k], j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (BLOCK, f_tile), lambda j, k, rb: (rb[k], j)
+        ),
+    )
+    cp = _compiler_params()
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((half.num_rows, f_pad), jnp.float32),
+        grid_spec=grid_spec,
+        input_output_aliases={4: 0},  # base (arg 4 incl. prefetch) -> out
+        interpret=interpret,
+        **({"compiler_params": cp} if cp else {}),
+    )(half.rem_step_rb, xg,
+      half.rem_lrows[:, None, :], half.rem_vals[:, None, :], base)
+
+
+def _bcsr_matmul_pallas(half: _BCSRHalf, x: jnp.ndarray,
+                        interpret: bool = False,
+                        f_tile: int = 512) -> jnp.ndarray:
+    """out (num_rows, F) = tiles @ x + remainder scatter; x: (num_cols, F)."""
+    f = x.shape[-1]
+    x, f_pad, f_tiles, f_tile = _f_layout(x, f_tile)
+    if half.blocks.dtype == jnp.bfloat16:
+        # bf16 tiles ⇒ stream bf16 feature tiles too (halves x traffic);
+        # the MXU multiplies bf16×bf16 natively, accumulation stays f32.
+        x = x.astype(jnp.bfloat16)
+    out = _tile_kernel_call(half, x, f_pad, f_tiles, f_tile, interpret)
+    if half.num_rem:
+        xg = x[half.rem_cols]
+        out = _rem_scatter_call(half, xg, out, f_pad, f_tiles, f_tile,
+                                interpret)
     return out[:, :f]
 
 
-def _remainder(half: _BCSRHalf, x: jnp.ndarray) -> Optional[jnp.ndarray]:
-    """COO remainder: edges from sub-threshold blocks (None when empty).
+def _remainder_xla(half: _BCSRHalf, x: jnp.ndarray) -> Optional[jnp.ndarray]:
+    """COO remainder on the XLA path (gather + segment-sum); None if empty.
 
-    ``rem_rows`` is sorted at build time (``_build_half``) and the scatter
-    passes ``indices_are_sorted``: measured END-TO-END on v5e (round 2,
-    99k remainder edges fused with the tile kernel, F=64) the sorted
-    lowering runs the whole hybrid spmm at 1503us vs 2399us without the
-    flag.  (Isolated micro-benchmarks of the scatter alone point the other
-    way — fusion context matters; trust the end-to-end number.)  When
-    tiles are bf16 the gather streams bf16 too (halves the random-read
-    bytes); the scatter accumulates f32 either way.
-    """
+    ``rem_rows`` is row-block-sorted by construction with in-chunk padding
+    rows pointing inside the same block, so ``indices_are_sorted`` is only
+    safe per-block — pass False (the XLA path is the portability fallback,
+    not the fast path)."""
     if half.num_rem == 0:
         return None
     if half.blocks.dtype == jnp.bfloat16:
         x = x.astype(jnp.bfloat16)
-    msgs = x[half.rem_cols].astype(jnp.float32) * half.rem_vals[:, None]
+    vals = half.rem_vals.reshape(-1)
+    msgs = x[half.rem_cols].astype(jnp.float32) * vals[:, None]
     return jax.ops.segment_sum(msgs, half.rem_rows,
-                               num_segments=half.num_rows,
-                               indices_are_sorted=True)
+                               num_segments=half.num_rows)
 
 
 def _bcsr_matmul_xla(half: _BCSRHalf, x: jnp.ndarray) -> jnp.ndarray:
     """Reference XLA implementation (gather + einsum + segment-sum)."""
     xg = x.reshape(half.num_cols // BLOCK, BLOCK, -1)[half.block_cols]
-    prod = jnp.einsum("kab,kbf->kaf", half.blocks, xg,
+    prod = jnp.einsum("kab,kbf->kaf", half.blocks[:half.nnzb], xg,
                       preferred_element_type=jnp.float32)
     out = jax.ops.segment_sum(
         prod, half.block_rows, num_segments=half.num_rows // BLOCK
     ).reshape(half.num_rows, -1)
-    rem = _remainder(half, x)
+    rem = _remainder_xla(half, x)
     return out if rem is None else out + rem
 
 
@@ -374,9 +545,7 @@ def _zero_cotangent(tree):
 def _matmul_half(half: _BCSRHalf, x_pad: jnp.ndarray, use_pallas: bool):
     if not use_pallas:
         return _bcsr_matmul_xla(half, x_pad)
-    out = _bcsr_matmul_pallas(half, x_pad)
-    rem = _remainder(half, x_pad)
-    return out if rem is None else out + rem
+    return _bcsr_matmul_pallas(half, x_pad)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -402,13 +571,14 @@ def bcsr_spmm(mat: BCSRMatrix, x: jnp.ndarray,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n = mat.num_nodes
+    f = x.shape[-1]
     pad = mat.fwd.num_cols - n
 
     def one(x2d):
         if pad:
             x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
         out = _bcsr_spmm_padded(mat, x2d, use_pallas)
-        return out[:n]
+        return out[:n, :f]
 
     if x.ndim == 2:
         return one(x)

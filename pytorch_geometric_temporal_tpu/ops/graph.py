@@ -438,8 +438,11 @@ def cheb_norm(
 
     Mirrors PyG ``ChebConv.__norm__`` semantics used throughout the reference
     (``nn/recurrent/gconv_gru.py``, ``gconv_lstm.py``, ``gc_lstm.py``,
-    ``nn/attention/stgcn.py``): λ_max defaults to 2.0 for 'sym', self-loop
-    fill −1.0, inf→0 masking.  ``lambda_max`` may be a traced scalar.
+    ``nn/attention/stgcn.py``): input self-loops removed before the
+    Laplacian, λ_max defaults to 2.0 for 'sym', self-loop fill −1.0, inf→0
+    masking.  ``lambda_max`` may be a traced scalar.  Exact-code parity is
+    asserted in ``tests/test_golden_reference_code.py`` against a line-level
+    transcription of the reference algorithm.
     """
     if lambda_max is None:
         lambda_max = 2.0
@@ -451,7 +454,7 @@ def cheb_norm(
             return op
 
     def build():
-        lap = laplacian(graph, normalization)
+        lap = laplacian(graph.remove_self_loops(), normalization)
         w = lap.weights * (2.0 / lambda_max)
         w = jnp.where(jnp.isinf(w), 0.0, w)
         return lap.with_weights(w).add_self_loops(fill_value=-1.0)
@@ -504,7 +507,7 @@ def lambda_max(graph: Graph, normalization: Optional[str] = "sym", iters: int = 
     Replaces the reference's scipy ``LaplacianLambdaMax``
     (``nn/attention/astgcn.py:437-440``).
     """
-    lap = laplacian(graph, normalization)
+    lap = laplacian(graph.remove_self_loops(), normalization)
     from .spmm import spmm  # local import to avoid cycle
 
     n = graph.num_nodes

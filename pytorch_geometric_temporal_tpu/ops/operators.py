@@ -88,10 +88,16 @@ def host_gcn_norm(graph: Graph, improved: bool = False,
 
 def host_cheb_norm(graph: Graph, normalization: Optional[str] = "sym",
                    lambda_max: Optional[float] = None) -> Graph:
-    """Numpy mirror of :func:`~.graph.cheb_norm`: L̂ = 2L/λ_max − I."""
+    """Numpy mirror of :func:`~.graph.cheb_norm`: L̂ = 2L/λ_max − I.
+
+    Input self-loops are dropped first (PyG ``ChebConv.__norm__`` calls
+    ``remove_self_loops`` before the Laplacian; exact-code parity is
+    asserted in ``tests/test_golden_reference_code.py``)."""
     if lambda_max is None:
         lambda_max = 2.0
     s, r, w = _host_edges(graph)
+    keep = s != r
+    s, r, w = s[keep], r[keep], w[keep]
     n = graph.num_nodes
     deg = np.bincount(s, weights=w, minlength=n)
     if normalization == "sym":

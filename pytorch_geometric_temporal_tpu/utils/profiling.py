@@ -86,3 +86,42 @@ def device_memory_stats(device=None) -> dict:
     stats = getattr(device, "memory_stats", None)
     out = stats() if callable(stats) else None
     return out if isinstance(out, dict) else {}
+
+
+def device_time_per_iter(fn, x, iters: int = 400, lo_frac: float = 0.25,
+                         reps: int = 3) -> float:
+    """Per-iteration device time of ``x -> fn(x)``, dispatch-corrected.
+
+    Remotely attached TPU platforms carry a large FIXED per-execution
+    overhead (~25 ms measured on the axon tunnel — constant from 1 to 1000
+    loop iterations), which a naive total/iters division smears into every
+    per-iteration number.  This times ONE compiled executable at two
+    different loop lengths (the bound is a traced scalar, so both lengths
+    share one compile) and takes the slope::
+
+        t = (T(hi) - T(lo)) / (hi - lo)
+
+    which cancels the fixed overhead exactly.  ``fn`` must be
+    shape-preserving and non-expanding (the carried value must stay finite
+    across the loop).
+    """
+    import jax
+
+    @jax.jit
+    def run(x0, n):
+        out = jax.lax.fori_loop(0, n, lambda i, a: fn(a), x0)
+        return jax.tree_util.tree_reduce(
+            lambda acc, leaf: acc + leaf.sum(), out, 0.0
+        )
+
+    lo = max(int(iters * lo_frac), 1)
+    float(run(x, iters))  # compile + pipeline fill
+    t_hi = t_lo = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(x, iters))
+        t_hi = min(t_hi, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run(x, lo))
+        t_lo = min(t_lo, time.perf_counter() - t0)
+    return max(t_hi - t_lo, 1e-12) / (iters - lo)

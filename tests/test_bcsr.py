@@ -112,6 +112,49 @@ def test_bcsr_hybrid_split(rng):
     np.testing.assert_allclose(jax.grad(f)(x), jax.grad(f_ref)(x), atol=1e-3)
 
 
+def test_bcsr_hybrid_pallas_interpret(rng):
+    """The remainder SCATTER KERNEL (one-hot MXU matmul over row-block
+    chunks, aliased over the tile output) must match the segment oracle —
+    interpret-mode check of the full hybrid pallas path."""
+    g = make_graph(rng, 900, 2500)  # sparse → real remainder
+    mat = BCSRMatrix.from_graph(g)  # default threshold 32
+    assert mat.fwd.num_rem > 0
+    x = jnp.asarray(rng.normal(size=(mat.fwd.num_cols, 20)).astype(np.float32))
+    want = _bcsr_matmul_xla_ref(mat, x)
+    got = _bcsr_matmul_pallas(mat.fwd, x, interpret=True)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_bcsr_all_spill_pallas_interpret(rng):
+    """Pure-COO operator (zero tiles) through the pallas path: dummy steps
+    zero-define every row block, scatter kernel adds everything."""
+    g = make_graph(rng, 500, 900)
+    mat = BCSRMatrix.from_graph(g, min_block_edges=10**6)
+    x = jnp.asarray(rng.normal(size=(mat.fwd.num_cols, 8)).astype(np.float32))
+    got = _bcsr_matmul_pallas(mat.fwd, x, interpret=True)
+    want = np.zeros((mat.fwd.num_rows, 8), np.float32)
+    want[:500] = np.asarray(spmm_segment(g, x[:500]))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_bcsr_rem_chunking(rng):
+    """Remainder chunk invariants: padded vals are zero, lrows in range,
+    chunk row blocks sorted, real edge count preserved."""
+    g = make_graph(rng, 2000, 4000)
+    mat = BCSRMatrix.from_graph(g)
+    h = mat.fwd
+    assert h.num_rem > 0
+    vals = np.asarray(h.rem_vals)
+    lrows = np.asarray(h.rem_lrows)
+    rb = np.asarray(h.rem_step_rb)
+    assert (np.count_nonzero(vals)) == h.num_rem
+    assert lrows.min() >= 0 and lrows.max() < 128
+    assert (np.diff(rb) >= 0).all()
+    # derived global rows land inside each chunk's row block
+    rows = np.asarray(h.rem_rows).reshape(len(rb), -1)
+    assert ((rows // 128) == rb[:, None]).all()
+
+
 def test_bcsr_matrix_as_jit_argument(rng):
     """BCSRMatrix must pass through jit as a pytree ARGUMENT (not closure):
     closure constants bake GB-scale blocks into the HLO."""
@@ -163,12 +206,13 @@ def test_bcsr_uncovered_rows_masked(rng):
 
 
 def test_bcsr_all_spill(rng):
-    """min_block_edges above every block count spills ALL edges: nnzb
-    collapses to the (0,0) placeholder tile and the result is pure COO."""
+    """min_block_edges above every block count spills ALL edges: zero real
+    tiles remain and the result is pure COO (dummy steps still zero-define
+    every row block on the kernel path)."""
     g = make_graph(rng, 500, 900)
     mat = BCSRMatrix.from_graph(g, min_block_edges=10**6)
-    assert mat.fwd.nnzb == 1 and mat.fwd.num_rem == g.num_edges
-    assert mat.fwd.block_rows.shape == (1,) and mat.fwd.block_cols.shape == (1,)
+    assert mat.fwd.nnzb == 0 and mat.fwd.num_rem == g.num_edges
+    assert mat.fwd.block_rows.shape == (0,) and mat.fwd.block_cols.shape == (0,)
     x = jnp.asarray(rng.normal(size=(500, 8)).astype(np.float32))
     np.testing.assert_allclose(
         bcsr_spmm(mat, x, use_pallas=False), spmm_segment(g, x), atol=1e-4

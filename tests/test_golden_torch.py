@@ -37,7 +37,10 @@ def setup(rng):
 def torch_cheb_basis(a, x, k):
     """Independent dense torch impl of the scaled-Laplacian Chebyshev basis
     (sym norm, lambda_max=2): L_hat = -D^-1/2 A D^-1/2 acting as
-    out[r] = sum_s Lhat[r,s] x[s] with source-side degrees."""
+    out[r] = sum_s Lhat[r,s] x[s] with source-side degrees.  Self-loops are
+    dropped first (PyG ChebConv.__norm__ removes them before the
+    Laplacian)."""
+    a = a - np.diag(np.diag(a))
     at = torch.as_tensor(a.T)
     deg = torch.as_tensor(a.sum(1))
     dis = torch.where(deg > 0, deg.pow(-0.5), torch.zeros_like(deg))

@@ -136,7 +136,9 @@ def test_laplacian(rng, norm):
 
 def test_cheb_norm_sym_lambda2(rng):
     # With lambda_max=2 and sym norm, L_hat = -D^-1/2 A D^-1/2 exactly
+    # (self-loops dropped first, per PyG ChebConv.__norm__)
     g, a = random_graph(rng, pad=3)
+    a = a - np.diag(np.diag(a))
     at = a.T
     deg = a.sum(1)
     dis = np.where(deg > 0, deg ** -0.5, 0.0)
