@@ -1,0 +1,322 @@
+"""METR-LA accuracy protocol: DCRNN seq2seq with framework-parity proof.
+
+The reference's headline accuracy protocol trains BatchedDCRNN on METR-LA
+and reports masked MAE on z-score de-normalized values (reference
+``examples/indexBatching/DCRNN/pems_main.py:60-110``, mask/NaN semantics
+``utils.py:10-18``).  Real METR-LA bytes cannot be downloaded in a
+zero-egress environment, so this module proves the accuracy claim the only
+honest way available:
+
+1. Generate a *realistic* seeded synthetic METR-LA stand-in — 207 sensors
+   on a k-NN geometric graph with Gaussian-kernel weights (the real
+   dataset's adjacency recipe), speeds driven by a spatially-correlated
+   AR process with rush-hour congestion profiles, ~2% missing readings
+   (zeros, exercising the masked loss), plus the time-of-day channel the
+   reference's PeMS path adds (``dataset/pems.py:124-129``).
+2. Train BOTH our ``DCRNNSeq`` (f32) and an independent torch-CPU DCRNN
+   on the SAME series, SAME initial parameters (transplanted), SAME batch
+   schedule, SAME Adam(1e-3) — then compare converged de-normalized test
+   masked-MAEs.  Agreement within a fraction of a percent means the JAX
+   implementation computes the same model the reference stack would, so
+   the throughput headline carries the accuracy claim with it.
+
+When real METR-LA bytes ARE staged (see ``data/_io.data_search_paths``),
+:func:`load_series` uses them instead and the parity run becomes a true
+reference-protocol accuracy number (``source = 'metr-la'``).
+
+Run directly for a JSON report: ``python benchmarks/metrla_protocol.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+IN_T = 12   # input window  (reference pems_main.py protocol)
+OUT_T = 12  # predict horizon
+
+STEPS_PER_DAY = 288  # 5-minute sampling
+
+
+def make_traffic_series(seed: int = 0, n: int = 207, t: int = 2880,
+                        k_nn: int = 8):
+    """Seeded synthetic traffic series shaped like METR-LA.
+
+    Returns ``(series (T, N, 2) f32, edge_index (2, E), edge_weight (E,))``.
+    Channel 0 is speed (mph, 0 = missing), channel 1 time-of-day in [0, 1).
+    """
+    rng = np.random.default_rng(seed)
+
+    # Sensor geometry -> directed k-NN graph with Gaussian kernel weights
+    # (the recipe behind the real METR-LA adj_mat: exp(-d²/σ²) thresholded).
+    pos = rng.uniform(size=(n, 2))
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    nbrs = np.argsort(d, axis=1)[:, :k_nn]
+    senders = np.repeat(np.arange(n), k_nn)
+    receivers = nbrs.reshape(-1)
+    dist = d[senders, receivers]
+    sigma = dist.std() + 1e-9
+    w = np.exp(-((dist / sigma) ** 2)).astype(np.float32)
+    ei = np.stack([senders, receivers]).astype(np.int64)
+
+    # Spatially-correlated congestion dynamics: z[t] = ρ·(mix·z[t-1]) + ε,
+    # mixed through the row-normalized adjacency so neighbours co-vary the
+    # way diffusion convolutions can exploit.
+    a = np.zeros((n, n), np.float32)
+    a[senders, receivers] = w
+    p = a / np.maximum(a.sum(1, keepdims=True), 1e-9)
+    mix = 0.6 * np.eye(n, dtype=np.float32) + 0.4 * p
+
+    tod = (np.arange(t) % STEPS_PER_DAY) / STEPS_PER_DAY
+    rush = (np.exp(-((tod - 8 / 24) ** 2) / (2 * 0.05**2))
+            + np.exp(-((tod - 17.5 / 24) ** 2) / (2 * 0.06**2)))
+    amp = rng.uniform(10.0, 30.0, size=n).astype(np.float32)
+
+    z = np.zeros((t, n), np.float32)
+    eps = rng.normal(scale=1.0, size=(t, n)).astype(np.float32)
+    for i in range(1, t):
+        z[i] = 0.88 * (mix @ z[i - 1]) + 0.35 * eps[i]
+    speed = np.clip(65.0 - rush[:, None] * amp[None, :] - 8.0 * z, 0.0, 70.0)
+
+    # ~2% missing readings recorded as 0 (the masked-MAE null value).
+    speed[rng.random(size=speed.shape) < 0.02] = 0.0
+
+    series = np.stack(
+        [speed, np.broadcast_to(tod[:, None], (t, n)).copy()], axis=-1
+    ).astype(np.float32)
+    return series, ei, w
+
+
+def load_series(seed: int = 0, t: int = 2880):
+    """(data_norm (T,N,2), ei, w, means, stds, source).
+
+    Prefers real METR-LA when its bytes are staged; falls back to the
+    seeded synthetic stand-in.  Normalization matches the reference: per-
+    feature z-score over the whole series (``dataset/metr_la.py:82-86``).
+    """
+    try:
+        from pytorch_geometric_temporal_tpu.data import METRLADatasetLoader
+        from pytorch_geometric_temporal_tpu.data._io import is_available
+
+        if is_available("METR-LA.zip"):
+            loader = METRLADatasetLoader(index=True)
+            x, means, stds = loader._normalized_X()  # (N, F, T)
+            data = x.transpose((2, 0, 1))
+            ei, w = np.nonzero(loader.A), None
+            ei = np.stack(ei)
+            w = loader.A[ei[0], ei[1]]
+            return data, ei, w, means, stds, "metr-la"
+    except Exception:
+        pass
+    series, ei, w = make_traffic_series(seed=seed, t=t)
+    means = series.mean(axis=(0, 1))
+    stds = series.std(axis=(0, 1))
+    data = (series - means) / stds
+    return data.astype(np.float32), ei, w, means, stds, "synthetic-seeded"
+
+
+def _windows(data: np.ndarray):
+    """All (start index) windows; x = data[i:i+12], y = data[i+12:i+24]."""
+    return np.arange(data.shape[0] - (IN_T + OUT_T) + 1)
+
+
+def _batch(data, idx):
+    x = np.stack([data[i: i + IN_T] for i in idx])
+    y = np.stack([data[i + IN_T: i + IN_T + OUT_T] for i in idx])
+    return x, y
+
+
+def _train_jax(data, ei, w, means, stds, schedule, test_idx, batch_size, K):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pytorch_geometric_temporal_tpu.models import DCRNNSeq
+    from pytorch_geometric_temporal_tpu.ops import Graph
+    from pytorch_geometric_temporal_tpu.train import masked_mae_loss
+
+    n, f = data.shape[1], data.shape[2]
+    g = Graph.from_edge_index(ei, w.astype(np.float32), num_nodes=n)
+    mean = jnp.asarray(means, jnp.float32)
+    std = jnp.asarray(stds, jnp.float32)
+
+    model = DCRNNSeq(out_channels=f, K=K, unroll=IN_T)
+    x0, _ = _batch(data, schedule[0])
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x0), g)
+
+    def loss_fn(p, x, y):
+        pred = model.apply(p, x, g)
+        return masked_mae_loss(pred * std + mean, y * std + mean)
+
+    opt = optax.adam(1e-3)
+    st = opt.init(params)
+
+    @jax.jit
+    def step(p, st, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y)
+        up, st = opt.update(grads, st)
+        return optax.apply_updates(p, up), st, loss
+
+    eval_loss = jax.jit(loss_fn)
+    curve = []
+    for epoch_batches in schedule:
+        last = None
+        for i in range(0, len(epoch_batches), batch_size):
+            idx = epoch_batches[i: i + batch_size]
+            if len(idx) < batch_size:
+                break
+            x, y = _batch(data, idx)
+            params, st, last = step(params, st, jnp.asarray(x), jnp.asarray(y))
+        curve.append(float(last))
+
+    maes = []
+    for i in range(0, len(test_idx) - batch_size + 1, batch_size):
+        x, y = _batch(data, test_idx[i: i + batch_size])
+        maes.append(float(eval_loss(params, jnp.asarray(x), jnp.asarray(y))))
+    return float(np.mean(maes)), curve, params
+
+
+def _train_torch(data, ei, w, means, stds, schedule, test_idx, batch_size,
+                 K, init_params):
+    """Independent torch-CPU DCRNN with transplanted initial parameters.
+
+    Dense diffusion operators (P_f = D_O⁻¹W, P_b = D_I⁻¹Wᵀ — the paper
+    form our default mode implements), basis layout matching
+    ``diffusion_basis`` so the flax parameter matrices drop straight in.
+    """
+    import torch
+
+    n, f = data.shape[1], data.shape[2]
+    a = torch.zeros(n, n, dtype=torch.float32)
+    a[torch.as_tensor(ei[0]), torch.as_tensor(ei[1])] = torch.as_tensor(
+        w, dtype=torch.float32
+    )
+    deg_out = a.sum(1).clamp(min=1e-12)
+    deg_in = a.sum(0).clamp(min=1e-12)
+    pf = a / deg_out[:, None]
+    pb = a.t() / deg_in[:, None]
+
+    def basis(v):  # v: (B, N, C) -> (B, N, 2·K·C)
+        outs = []
+        for pmat in (pf, pb):
+            ts = [v, torch.einsum("ij,bjc->bic", pmat, v)][: max(K, 1)]
+            for _ in range(2, K):
+                ts.append(
+                    2.0 * torch.einsum("ij,bjc->bic", pmat, ts[-1]) - ts[-2]
+                )
+            outs.extend(ts)
+        return torch.cat(outs, dim=-1)
+
+    cell = init_params["params"]["cell"]
+    t = lambda name: torch.nn.Parameter(
+        torch.as_tensor(np.asarray(cell[name]), dtype=torch.float32)
+    )
+    w_zr, b_zr, w_h, b_h = t("w_zr"), t("b_zr"), t("w_h"), t("b_h")
+
+    def forward(xs):  # (B, T, N, F) -> (B, T, N, F)
+        h = torch.zeros(xs.shape[0], n, f)
+        outs = []
+        for ti in range(xs.shape[1]):
+            xt = xs[:, ti]
+            zr = torch.sigmoid(basis(torch.cat([xt, h], -1)) @ w_zr + b_zr)
+            z, r = zr.chunk(2, -1)
+            ht = torch.tanh(basis(torch.cat([xt, r * h], -1)) @ w_h + b_h)
+            h = z * h + (1 - z) * ht
+            outs.append(h)
+        return torch.stack(outs, 1)
+
+    mean = torch.as_tensor(means, dtype=torch.float32)
+    std = torch.as_tensor(stds, dtype=torch.float32)
+
+    def masked_mae(pred, true):  # reference utils.py:10-18 semantics
+        mask = (true != 0).float()
+        mask = mask / mask.mean().clamp(min=1e-16)
+        loss = (pred - true).abs() * mask
+        return torch.nan_to_num(loss).mean()
+
+    def loss_fn(x, y):
+        pred = forward(x)
+        return masked_mae(pred * std + mean, y * std + mean)
+
+    optim = torch.optim.Adam([w_zr, b_zr, w_h, b_h], lr=1e-3)
+    curve = []
+    for epoch_batches in schedule:
+        last = None
+        for i in range(0, len(epoch_batches), batch_size):
+            idx = epoch_batches[i: i + batch_size]
+            if len(idx) < batch_size:
+                break
+            x, y = _batch(data, idx)
+            optim.zero_grad()
+            loss = loss_fn(torch.as_tensor(x), torch.as_tensor(y))
+            loss.backward()
+            optim.step()
+            last = float(loss)
+        curve.append(last)
+
+    maes = []
+    with torch.no_grad():
+        for i in range(0, len(test_idx) - batch_size + 1, batch_size):
+            x, y = _batch(data, test_idx[i: i + batch_size])
+            maes.append(float(loss_fn(torch.as_tensor(x), torch.as_tensor(y))))
+    return float(np.mean(maes)), curve
+
+
+def run_parity(epochs: int = 12, batch_size: int = 64, seed: int = 0,
+               t_len: int = 2880, K: int = 3, with_torch: bool = True):
+    """Train both stacks with identical init/batches; return the report.
+
+    ``mae`` values are de-normalized masked MAE (mph for the speed
+    channel) following the reference loss protocol exactly.
+    """
+    data, ei, w, means, stds, source = load_series(seed=seed, t=t_len)
+    idx = _windows(data)
+    n_train = int(0.7 * len(idx))
+    n_val = int(0.1 * len(idx))
+    train_idx = idx[:n_train]
+    test_idx = idx[n_train + n_val:]
+
+    rng = np.random.default_rng(seed + 1)
+    schedule = [rng.permutation(train_idx) for _ in range(epochs)]
+
+    mae_jax, curve_jax, params = _train_jax(
+        data, ei, w, means, stds, schedule, test_idx, batch_size, K
+    )
+    rec = {
+        "source": source,
+        "epochs": epochs,
+        "test_masked_mae_denorm": round(mae_jax, 4),
+        "train_curve": [round(v, 4) for v in curve_jax],
+    }
+    if with_torch:
+        # fresh init identical to the jax run's (PRNGKey(0) is deterministic)
+        mae_torch, curve_torch = _train_torch(
+            data, ei, w, means, stds, schedule, test_idx, batch_size, K,
+            init_params=_reinit(data, ei, w, schedule, batch_size, K),
+        )
+        rec["test_masked_mae_denorm_torch"] = round(mae_torch, 4)
+        rec["train_curve_torch"] = [round(v, 4) for v in curve_torch]
+        rec["mae_parity_pct"] = round(
+            abs(mae_jax - mae_torch) / max(mae_torch, 1e-9) * 100.0, 3
+        )
+    return rec
+
+
+def _reinit(data, ei, w, schedule, batch_size, K):
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_geometric_temporal_tpu.models import DCRNNSeq
+    from pytorch_geometric_temporal_tpu.ops import Graph
+
+    n, f = data.shape[1], data.shape[2]
+    g = Graph.from_edge_index(ei, w.astype(np.float32), num_nodes=n)
+    model = DCRNNSeq(out_channels=f, K=K, unroll=IN_T)
+    x0, _ = _batch(data, schedule[0][:2])
+    return model.init(jax.random.PRNGKey(0), jnp.asarray(x0), g)
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(run_parity()))

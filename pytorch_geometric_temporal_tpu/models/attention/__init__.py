@@ -2,7 +2,9 @@ from .astgcn import (
     ASTGCN,
     ASTGCNBlock,
     ChebConvAttention,
+    EdgeScores,
     SpatialAttention,
+    SpatialAttentionSparse,
     TemporalAttention,
 )
 from .dnntsp import (
@@ -31,7 +33,8 @@ from .stgcn import STConv, TemporalConv
 from .tsagcn import AAGCN, GraphAAGCN, UnitGCN, UnitTCN
 
 __all__ = [
-    "ASTGCN", "ASTGCNBlock", "ChebConvAttention", "SpatialAttention",
+    "ASTGCN", "ASTGCNBlock", "ChebConvAttention", "EdgeScores",
+    "SpatialAttention", "SpatialAttentionSparse",
     "TemporalAttention", "DNNTSP", "GlobalGatedUpdater",
     "MaskedSelfAttention", "WeightedGCNBlock", "GMAN", "FullyConnected",
     "GatedFusion", "SpatioTemporalAttention", "SpatioTemporalEmbedding",
