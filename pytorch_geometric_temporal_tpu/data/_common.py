@@ -24,6 +24,11 @@ def lag_windows(stacked: np.ndarray, lags: int):
     return features, targets
 
 
+def binned_onehot(bin_ids: np.ndarray, num_bins: int) -> np.ndarray:
+    """One-hot rows for integer bin ids in ``[0, num_bins)`` (vectorized)."""
+    return np.eye(num_bins)[np.asarray(bin_ids, dtype=np.intp)]
+
+
 def zscore(stacked: np.ndarray, axis=0, eps: float = 0.0) -> np.ndarray:
     return (stacked - np.mean(stacked, axis=axis)) / (
         np.std(stacked, axis=axis) + eps

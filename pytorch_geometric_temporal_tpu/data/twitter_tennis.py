@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..signal import DynamicGraphTemporalSignal
+from ._common import binned_onehot
 from ._io import fetch_json
 
 _URL_BASE = (
@@ -17,29 +18,25 @@ _URL_BASE = (
 )
 
 
-def transform_degree(x, cutoff=4):
-    log_deg = np.ceil(np.log(x + 1.0))
-    return np.minimum(log_deg, cutoff)
-
-
-def transform_transitivity(x):
-    return np.floor(x * 10)
-
-
-def onehot_encoding(x, unique_vals):
-    e = np.zeros((len(x), len(unique_vals)))
-    for i, val in enumerate(x):
-        e[i, unique_vals.index(val)] = 1.0
-    return e
-
-
 def encode_features(X, log_degree_cutoff=4):
-    X_arr = np.array(X)
-    a = transform_degree(X_arr[:, 0], log_degree_cutoff)
-    b = transform_transitivity(X_arr[:, 1])
-    A = onehot_encoding(a, list(range(log_degree_cutoff + 1)))
-    B = onehot_encoding(b, list(range(11)))
-    return np.concatenate((A, B), axis=1)
+    """One-hot bins of (log-degree, transitivity) raw node features.
+
+    Matches reference ``dataset/twitter_tennis.py:8-31`` semantics: column
+    0 is binned as ``min(ceil(log1p(deg)), cutoff)`` into ``cutoff + 1``
+    bins, column 1 as ``floor(10 * transitivity)`` into 11 bins, and the
+    two one-hot blocks concatenate — done here as two vectorized
+    ``binned_onehot`` lookups instead of per-row loops.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    deg_bins = np.minimum(np.ceil(np.log1p(X[:, 0])), log_degree_cutoff)
+    trans_bins = np.floor(X[:, 1] * 10)
+    return np.concatenate(
+        (
+            binned_onehot(deg_bins, log_degree_cutoff + 1),
+            binned_onehot(trans_bins, 11),
+        ),
+        axis=1,
+    )
 
 
 class TwitterTennisDatasetLoader:
