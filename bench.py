@@ -22,9 +22,13 @@ dtypes; both dtypes are tagged in the JSON record.  The accuracy protocol
 runs f32 end to end.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": snapshots/sec/chip, "unit": ..., "vs_baseline": r,
-   "final_loss": ..., "compute_dtype": ..., "baseline_dtype": ...,
-   "chickenpox_gconvgru_test_mse": ..., "chickenpox_gconvgru_test_mae": ...}
+  {"metric": ..., "value": snapshots/sec/chip (device-only, slope method),
+   "value_rawwall": snapshots/sec incl. dispatch, "unit": ...,
+   "vs_baseline": r, "vs_baseline_rawwall": r_wall, "final_loss": ...,
+   "compute_dtype": ..., "baseline_dtype": ...,
+   "chickenpox_gconvgru_test_mse": ..., "chickenpox_gconvgru_test_mae": ...,
+   "bcsr_*": kernel metrics, "metrla_*": METR-LA accuracy-parity fields
+   (reduced-config run of benchmarks/metrla_protocol.py)}
 
 ``vs_baseline`` is the ratio against a torch-CPU implementation of the same
 model run on this host (the reference stack itself is not installable here;
@@ -114,7 +118,8 @@ def bench_jax(ei, w, x_np, y_np):
         jax.block_until_ready(params)
         t_lo = min(t_lo, time.perf_counter() - t0)
     dt = (t_hi - t_lo) / (STEPS - lo)
-    return B * T / dt, float(loss)
+    dt_raw = t_hi / STEPS  # raw wall per iter, incl. the fixed dispatch cost
+    return B * T / dt, B * T / dt_raw, float(loss)
 
 
 def bench_torch_cpu(ei, w, x_np, y_np, steps=3):
@@ -286,13 +291,19 @@ def bench_kernel_edges(n=50_000, deg=40, f=64, band=96, iters=400):
     dt_seg = timed(lambda a: spmm_segment(g, a), max(iters // 4, 20))
     tile_flops = mat.fwd.nnzb * 2 * 128 * 128 * f
     mfu = tile_flops / dt_bcsr / 197e12 * 100.0
-    return e / dt_bcsr, e / dt_seg, mfu
+    # Roofline: the kernel is HBM-bound, not MXU-bound — the binding metric
+    # is achieved bytes/s vs the v5e's ~819 GB/s peak (see
+    # ops/bcsr.py:hybrid_hbm_bytes and benchmarks/bcsr_breakdown.py).
+    from pytorch_geometric_temporal_tpu.ops.bcsr import hybrid_hbm_bytes
+
+    hbm_gbs = hybrid_hbm_bytes(mat.fwd, f)["total"] / dt_bcsr / 1e9
+    return e / dt_bcsr, e / dt_seg, mfu, hbm_gbs
 
 
 def main():
     rng = np.random.default_rng(0)
     ei, w, x, y = make_data(rng)
-    jax_tput, loss = bench_jax(ei, w, x, y)
+    jax_tput, jax_tput_raw, loss = bench_jax(ei, w, x, y)
     try:
         torch_tput = bench_torch_cpu(ei, w, x, y)
     except Exception:
@@ -303,14 +314,23 @@ def main():
     except Exception:
         test_mse = test_mae = None
     try:
-        bcsr_eps, seg_eps, mfu = bench_kernel_edges()
+        bcsr_eps, seg_eps, mfu, hbm_gbs = bench_kernel_edges()
     except Exception:
-        bcsr_eps = seg_eps = mfu = None
+        bcsr_eps = seg_eps = mfu = hbm_gbs = None
     rec = {
         "metric": "dcrnn_metrla_train_snapshots_per_sec_per_chip",
         "value": round(jax_tput, 1),
         "unit": "snapshots/s",
         "vs_baseline": round(vs, 2),
+        # `value` is device-only (slope method cancels this platform's fixed
+        # ~25 ms remote-tunnel dispatch per execution); `value_rawwall`
+        # includes that dispatch so the series stays comparable across
+        # rounds and timing methodologies.  vs_baseline_rawwall is the
+        # like-for-like wall-clock ratio against the torch-CPU baseline.
+        "value_rawwall": round(jax_tput_raw, 1),
+        "vs_baseline_rawwall": round(
+            jax_tput_raw / torch_tput if torch_tput == torch_tput else 0.0, 2
+        ),
         "final_loss": round(loss, 4),
         "compute_dtype": "bfloat16 (f32 master params)",
         "baseline_dtype": "float32 torch-CPU",
@@ -325,6 +345,24 @@ def main():
         rec["bcsr_edges_per_sec_50k_banded"] = round(bcsr_eps / 1e6, 1)
         rec["bcsr_vs_segment_path"] = round(bcsr_eps / seg_eps, 2)
         rec["bcsr_mxu_mfu_pct"] = round(mfu, 2)
+        rec["bcsr_hbm_gbs"] = round(hbm_gbs, 1)
+        rec["bcsr_hbm_pct_peak"] = round(hbm_gbs / 819.0 * 100.0, 1)
+    try:
+        from benchmarks.metrla_protocol import run_parity
+
+        par = run_parity(epochs=3, t_len=720)
+        rec["metrla_test_mae_denorm"] = par["test_masked_mae_denorm"]
+        rec["metrla_test_mae_denorm_torch"] = par[
+            "test_masked_mae_denorm_torch"
+        ]
+        rec["metrla_mae_parity_pct"] = par["mae_parity_pct"]
+        rec["metrla_parity_source"] = par["source"]
+        # Which semantics the parity certifies (see metrla_protocol.py):
+        # the paper-form DCRNN; `compat='reference'` is certified by
+        # bit-level unit tests in tests/test_golden_models.py.
+        rec["metrla_parity_semantics"] = "paper-form"
+    except Exception:
+        pass
     print(json.dumps(rec))
 
 

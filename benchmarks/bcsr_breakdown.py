@@ -28,7 +28,10 @@ from pytorch_geometric_temporal_tpu.ops.bcsr import (
     _rem_scatter_call,
     _remainder_xla,
     _tile_kernel_call,
+    hybrid_hbm_bytes,
 )
+
+HBM_PEAK_GBS = 819.0  # TPU v5e HBM bandwidth (~819 GB/s)
 from pytorch_geometric_temporal_tpu.utils.profiling import (
     device_time_per_iter,
 )
@@ -103,6 +106,19 @@ def main():
 
     dt_rx = device_time_per_iter(rem_xla, xp16, iters=100)
     report("remainder (XLA)", dt_rx, h.num_rem)
+
+    # Roofline: the kernel is HBM-bandwidth-bound (see hybrid_hbm_bytes);
+    # report achieved bytes/s per phase against the v5e's ~819 GB/s peak.
+    bts = hybrid_hbm_bytes(h, f)
+    for name, nbytes, dt in (
+        ("tile", bts["tile"], dt_t),
+        ("remainder", bts["remainder"], dt_r),
+        ("hybrid", bts["total"], dt_h),
+    ):
+        gbs = nbytes / dt / 1e9
+        print(f"roofline {name:10s} {nbytes/1e6:8.1f} MB/iter  "
+              f"{gbs:6.1f} GB/s  ({gbs / HBM_PEAK_GBS * 100:5.1f}% of "
+              f"{HBM_PEAK_GBS:.0f} GB/s peak)", flush=True)
 
 
 if __name__ == "__main__":

@@ -87,18 +87,19 @@ def make_traffic_series(seed: int = 0, n: int = 207, t: int = 2880,
     return series, ei, w
 
 
-def load_series(seed: int = 0, t: int = 2880):
+def load_series(seed: int = 0, t: int = 2880, n: int = 207):
     """(data_norm (T,N,2), ei, w, means, stds, source).
 
-    Prefers real METR-LA when its bytes are staged; falls back to the
-    seeded synthetic stand-in.  Normalization matches the reference: per-
-    feature z-score over the whole series (``dataset/metr_la.py:82-86``).
+    Prefers real METR-LA when its bytes are staged (full 207-sensor graph
+    only); falls back to the seeded synthetic stand-in at any ``n``.
+    Normalization matches the reference: per-feature z-score over the whole
+    series (``dataset/metr_la.py:82-86``).
     """
     try:
         from pytorch_geometric_temporal_tpu.data import METRLADatasetLoader
         from pytorch_geometric_temporal_tpu.data._io import is_available
 
-        if is_available("METR-LA.zip"):
+        if n == 207 and is_available("METR-LA.zip"):
             loader = METRLADatasetLoader(index=True)
             x, means, stds = loader._normalized_X()  # (N, F, T)
             data = x.transpose((2, 0, 1))
@@ -108,7 +109,7 @@ def load_series(seed: int = 0, t: int = 2880):
             return data, ei, w, means, stds, "metr-la"
     except Exception:
         pass
-    series, ei, w = make_traffic_series(seed=seed, t=t)
+    series, ei, w = make_traffic_series(seed=seed, t=t, n=n)
     means = series.mean(axis=(0, 1))
     stds = series.std(axis=(0, 1))
     data = (series - means) / stds
@@ -133,12 +134,20 @@ def _train_jax(data, ei, w, means, stds, schedule, test_idx, batch_size, K):
 
     from pytorch_geometric_temporal_tpu.models import DCRNNSeq
     from pytorch_geometric_temporal_tpu.ops import Graph
-    from pytorch_geometric_temporal_tpu.train import masked_mae_loss
 
     n, f = data.shape[1], data.shape[2]
     g = Graph.from_edge_index(ei, w.astype(np.float32), num_nodes=n)
-    mean = jnp.asarray(means, jnp.float32)
     std = jnp.asarray(stds, jnp.float32)
+    # Mask missing readings by comparing the STORED normalized labels to
+    # the normalized-zero constant, computed with the exact same f64→f32
+    # rounding the series normalization used.  Recomputing ``y·std+mean
+    # != 0`` instead is a fp knife edge: XLA may fuse the de-norm as an
+    # FMA whose rounding differs from the normalization round-trip, which
+    # silently flips ~2% of mask bits and changes the objective.  The
+    # de-normalized MAE itself is computed as ``|pred−y|·std`` (the mean
+    # term cancels exactly), so no knife edge remains anywhere.
+    norm0 = jnp.asarray(((0.0 - np.asarray(means, np.float64))
+                         / np.asarray(stds, np.float64)).astype(np.float32))
 
     model = DCRNNSeq(out_channels=f, K=K, unroll=IN_T)
     x0, _ = _batch(data, schedule[0])
@@ -146,7 +155,9 @@ def _train_jax(data, ei, w, means, stds, schedule, test_idx, batch_size, K):
 
     def loss_fn(p, x, y):
         pred = model.apply(p, x, g)
-        return masked_mae_loss(pred * std + mean, y * std + mean)
+        mask = (y != norm0).astype(jnp.float32)
+        mask = mask / jnp.maximum(mask.mean(), 1e-16)
+        return jnp.mean(jnp.nan_to_num(jnp.abs(pred - y) * std * mask))
 
     opt = optax.adam(1e-3)
     st = opt.init(params)
@@ -225,18 +236,20 @@ def _train_torch(data, ei, w, means, stds, schedule, test_idx, batch_size,
             outs.append(h)
         return torch.stack(outs, 1)
 
-    mean = torch.as_tensor(means, dtype=torch.float32)
     std = torch.as_tensor(stds, dtype=torch.float32)
+    # same knife-edge-free mask/de-norm formulation as _train_jax (the
+    # mask tests the stored normalized labels against the normalized-zero
+    # constant; |pred−y|·std == de-normalized MAE with the mean cancelled)
+    norm0 = torch.as_tensor(((0.0 - np.asarray(means, np.float64))
+                             / np.asarray(stds, np.float64))
+                            .astype(np.float32))
 
-    def masked_mae(pred, true):  # reference utils.py:10-18 semantics
-        mask = (true != 0).float()
-        mask = mask / mask.mean().clamp(min=1e-16)
-        loss = (pred - true).abs() * mask
-        return torch.nan_to_num(loss).mean()
-
-    def loss_fn(x, y):
+    def loss_fn(x, y):  # reference utils.py:10-18 semantics
         pred = forward(x)
-        return masked_mae(pred * std + mean, y * std + mean)
+        mask = (y != norm0).float()
+        mask = mask / mask.mean().clamp(min=1e-16)
+        loss = (pred - y).abs() * std * mask
+        return torch.nan_to_num(loss).mean()
 
     optim = torch.optim.Adam([w_zr, b_zr, w_h, b_h], lr=1e-3)
     curve = []
@@ -263,13 +276,21 @@ def _train_torch(data, ei, w, means, stds, schedule, test_idx, batch_size,
 
 
 def run_parity(epochs: int = 12, batch_size: int = 64, seed: int = 0,
-               t_len: int = 2880, K: int = 3, with_torch: bool = True):
+               t_len: int = 2880, K: int = 3, with_torch: bool = True,
+               n: int = 207):
     """Train both stacks with identical init/batches; return the report.
 
     ``mae`` values are de-normalized masked MAE (mph for the speed
     channel) following the reference loss protocol exactly.
+
+    Semantics note: both stacks here implement the *paper-form* DCRNN
+    (``DCRNNSeq`` default / ``compat='paper'``) — dense diffusion
+    operators P_f = D_O⁻¹W, P_b = D_I⁻¹Wᵀ.  The reference's
+    ``compat='reference'`` bug-faithful mode is certified separately by
+    bit-level unit tests (``tests/test_golden_models.py``); this protocol
+    certifies end-to-end *training* parity of the paper-form model.
     """
-    data, ei, w, means, stds, source = load_series(seed=seed, t=t_len)
+    data, ei, w, means, stds, source = load_series(seed=seed, t=t_len, n=n)
     idx = _windows(data)
     n_train = int(0.7 * len(idx))
     n_val = int(0.1 * len(idx))

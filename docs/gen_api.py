@@ -11,6 +11,7 @@ from __future__ import annotations
 import importlib
 import inspect
 import os
+import re
 import sys
 from pathlib import Path
 
@@ -99,14 +100,19 @@ PAGES = {
 
 def _signature(obj) -> str:
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # default reprs like "<object at 0x7f...>" embed process addresses —
+    # strip them so regeneration is deterministic
+    return re.sub(r" at 0x[0-9a-f]+", "", sig)
 
 
 def _doc(obj) -> str:
     d = inspect.getdoc(obj)
-    return d or ""
+    # dataclass auto-docstrings embed default-object reprs with process
+    # addresses — strip for deterministic regeneration
+    return re.sub(r" at 0x[0-9a-f]+", "", d) if d else ""
 
 
 def _public_members(mod):

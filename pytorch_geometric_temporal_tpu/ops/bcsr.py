@@ -588,5 +588,56 @@ def bcsr_spmm(mat: BCSRMatrix, x: jnp.ndarray,
     return out.reshape(lead + out.shape[-2:])
 
 
+def hybrid_hbm_bytes(half: _BCSRHalf, f: int) -> dict:
+    """HBM traffic model for one forward hybrid spmm (roofline accounting).
+
+    The kernel is **bandwidth-bound**, not MXU-bound (at F=64 each bf16
+    tile multiply moves 128·128·2 tile bytes for 2·128·128·F flops —
+    arithmetic intensity ~2F/2 = F flops/byte on tile bytes alone, but the
+    tiles are ~1-3% occupied so *useful* intensity is far lower), so the
+    binding metric is achieved HBM bytes/s vs the chip's peak (v5e ≈ 819
+    GB/s), not MFU.  Counted per phase:
+
+    Tile kernel (grid = steps S, sorted by row block):
+      - one (128, 128) tile fetch per step (dummy steps fetch the shared
+        zero tile; counted — the pipeline re-fetches per step),
+      - one (128, F) X column-block fetch per step,
+      - one (128, F) f32 output write-back per row-block *run* (the output
+        block is VMEM-resident across consecutive same-row steps).
+
+    Remainder (XLA row-gather + scatter kernel, aliased base):
+      - gather reads P = S_r·REM_K rows of X and writes the packed ``xg``
+        (padding rows gather x[0] — real traffic, counted),
+      - the kernel re-reads ``xg`` plus per-chunk vals/lrows scalars,
+      - touched row blocks are read from ``base`` and written once; the
+        aliasing leaves untouched blocks traffic-free.
+
+    Returns ``{"tile", "remainder", "total"}`` bytes.  This is a *lower
+    bound* on real traffic (no TLB/refetch effects), so achieved-bandwidth
+    percentages derived from it are conservative.
+    """
+    s_tile = 2 if half.blocks.dtype == jnp.bfloat16 else 4
+    s_x = s_tile
+    f_eff = f if f <= 128 else _round_up(f, 128)
+    steps = int(half.step_rows.shape[0])
+    nb_runs = int(np.unique(np.asarray(half.step_rows)).shape[0])
+    tile = (
+        steps * BLOCK * BLOCK * s_tile          # tile fetches
+        + steps * BLOCK * f_eff * s_x           # X column blocks
+        + nb_runs * BLOCK * f_eff * 4           # f32 output write-backs
+    )
+    rem = 0
+    if half.num_rem:
+        p = int(half.rem_cols.shape[0])
+        s_r = int(half.rem_step_rb.shape[0])
+        touched = int(np.unique(np.asarray(half.rem_step_rb)).shape[0])
+        rem = (
+            p * f_eff * s_x * 3                 # gather read + xg write + read
+            + s_r * REM_K * 8                   # vals (f32) + lrows (i32)
+            + touched * BLOCK * f_eff * 4 * 2   # base read + out write
+        )
+    return {"tile": tile, "remainder": rem, "total": tile + rem}
+
+
 # Backwards-compat alias (pre-round-2 public name)
 BCSRGraph = BCSRMatrix

@@ -18,6 +18,8 @@ from .index_dataset import (
     DeviceWindower,
     IndexDataset,
     IndexLoader,
+    StreamingWindower,
+    load_time_shard,
     iter_index_batches,
 )
 from .snapshot import HeteroSnapshot, Snapshot
@@ -40,6 +42,8 @@ __all__ = [
     "DeviceWindower",
     "IndexDataset",
     "IndexLoader",
+    "StreamingWindower",
+    "load_time_shard",
     "iter_index_batches",
     "HeteroSnapshot",
     "Snapshot",

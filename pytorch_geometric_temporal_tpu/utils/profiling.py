@@ -88,6 +88,27 @@ def device_memory_stats(device=None) -> dict:
     return out if isinstance(out, dict) else {}
 
 
+def host_memory_stats() -> dict:
+    """Host process memory (bytes): current and peak RSS.
+
+    Reads ``/proc/self/status`` (Linux); returns an empty dict elsewhere.
+    Used by the out-of-core data-path tests to assert that streaming a
+    memory-mapped series never materializes it
+    (``tests/test_out_of_core.py``).
+    """
+    out = {}
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    out["rss"] = int(line.split()[1]) * 1024
+                elif line.startswith("VmHWM:"):
+                    out["peak_rss"] = int(line.split()[1]) * 1024
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return out
+
+
 def device_time_per_iter(fn, x, iters: int = 400, lo_frac: float = 0.25,
                          reps: int = 3) -> float:
     """Per-iteration device time of ``x -> fn(x)``, dispatch-corrected.
