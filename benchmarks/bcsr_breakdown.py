@@ -119,6 +119,13 @@ def main():
         print(f"roofline {name:10s} {nbytes/1e6:8.1f} MB/iter  "
               f"{gbs:6.1f} GB/s  ({gbs / HBM_PEAK_GBS * 100:5.1f}% of "
               f"{HBM_PEAK_GBS:.0f} GB/s peak)", flush=True)
+    # The remainder's binding limit is NOT bandwidth: XLA's row gather
+    # runs at a fixed ~2 ns/row regardless of index pattern (sequential
+    # indices measure the same 65 GB/s as random — per-index rate-bound).
+    p_rows = int(h.rem_cols.shape[0])
+    print(f"remainder gather floor: {p_rows} rows x ~2 ns = "
+          f"{p_rows*2e-3:.0f} us of the {dt_r*1e6:.0f} us measured "
+          f"(rate-bound; see docs/performance.md)", flush=True)
 
 
 if __name__ == "__main__":

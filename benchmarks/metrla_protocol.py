@@ -97,9 +97,9 @@ def load_series(seed: int = 0, t: int = 2880, n: int = 207):
     """
     try:
         from pytorch_geometric_temporal_tpu.data import METRLADatasetLoader
-        from pytorch_geometric_temporal_tpu.data._io import is_available
+        from pytorch_geometric_temporal_tpu.data._io import available
 
-        if n == 207 and is_available("METR-LA.zip"):
+        if n == 207 and available("METR-LA.zip"):
             loader = METRLADatasetLoader(index=True)
             x, means, stds = loader._normalized_X()  # (N, F, T)
             data = x.transpose((2, 0, 1))

@@ -59,7 +59,7 @@ def _round_up(x: int, m: int) -> int:
     data_fields=["blocks", "block_rows", "block_cols",
                  "step_rows", "step_cols", "step_bidx",
                  "rem_cols", "rem_vals", "rem_lrows", "rem_step_rb"],
-    meta_fields=["num_rows", "num_cols", "nnzb", "num_rem"],
+    meta_fields=["num_rows", "num_cols", "nnzb", "num_rem", "pack"],
 )
 @dataclasses.dataclass(frozen=True)
 class _BCSRHalf:
@@ -87,9 +87,12 @@ class _BCSRHalf:
     blocks: jnp.ndarray       # (nnzb + 1, BLOCK, BLOCK); [-1] is all-zero
     block_rows: jnp.ndarray   # (nnzb,) int32, sorted ascending (real tiles)
     block_cols: jnp.ndarray   # (nnzb,) int32
+    # step arrays are FLAT 1D: 2D scalar-prefetch operands are padded to
+    # 128 SMEM lanes (measured 588 KB for an (S, 1) i32 at S=1171 — SMEM
+    # is 1 MB total); slot u of step k lives at index k·pack + u.
     step_rows: jnp.ndarray    # (S,) int32 kernel-step row blocks, sorted
-    step_cols: jnp.ndarray    # (S,) int32
-    step_bidx: jnp.ndarray    # (S,) int32 index into blocks (nnzb = dummy)
+    step_cols: jnp.ndarray    # (S·pack,) int32
+    step_bidx: jnp.ndarray    # (S·pack,) int32 into blocks (nnzb = dummy)
     rem_cols: jnp.ndarray     # (S_r * REM_K,) int32 gather sources
     rem_vals: jnp.ndarray     # (S_r, REM_K) f32 edge values (0 = padding)
     rem_lrows: jnp.ndarray    # (S_r, REM_K) int32 row within the row block
@@ -98,6 +101,7 @@ class _BCSRHalf:
     num_cols: int
     nnzb: int                 # real tile count (may be 0)
     num_rem: int              # real remainder edge count (may be 0)
+    pack: int = 1             # tiles per tile-kernel grid step
 
     @property
     def rem_rows(self) -> jnp.ndarray:
@@ -121,7 +125,8 @@ class BCSRMatrix:
 
     @staticmethod
     def from_graph(graph: Graph, block: int = BLOCK, dtype=None,
-                   min_block_edges=32, expected_f: int = 64) -> "BCSRMatrix":
+                   min_block_edges=32, expected_f: int = 64,
+                   pack="auto", rem_k: int = REM_K) -> "BCSRMatrix":
         """Host-side construction from a Graph (aggregation M[r,s] = w).
 
         ``dtype=jnp.bfloat16`` stores tiles in bf16 — halves HBM traffic for
@@ -134,6 +139,16 @@ class BCSRMatrix:
         ``expected_f``, the typical feature width, in its byte model); an
         int fixes it (the break-even is ~10 edges/tile at F=64 bf16; 32
         leaves margin); 0 disables the split.
+
+        ``pack``: tiles multiplied per tile-kernel grid step (see
+        :func:`_build_steps` — amortizes the measured ~290 ns/step fixed
+        cost; rows pad to a multiple of ``pack`` with zero-tile slots).
+        ``'auto'`` picks per direction via :func:`tune_pack`'s measured
+        cost model (v5e: 2.1× on the 50k banded bench vs ``pack=1``).
+
+        ``rem_k``: remainder edges per scatter-kernel chunk; larger
+        chunks amortize the same per-step cost against per-row-block
+        padding waste (averaging ``rem_k/2`` edges).
         """
         e = graph.num_edges
         s_all, r_all, w_all = graph.host_edges()
@@ -146,8 +161,10 @@ class BCSRMatrix:
                 r, s, n, block, dtype, expected_f
             )
         return BCSRMatrix(
-            fwd=_build_half(r, s, w, n, block, dtype, min_block_edges),
-            bwd=_build_half(s, r, w, n, block, dtype, min_block_edges),
+            fwd=_build_half(r, s, w, n, block, dtype, min_block_edges, pack,
+                            rem_k),
+            bwd=_build_half(s, r, w, n, block, dtype, min_block_edges, pack,
+                            rem_k),
             num_nodes=n,
         )
 
@@ -157,24 +174,36 @@ class BCSRMatrix:
         return self.fwd.nnzb / max(nb * (self.fwd.num_cols // BLOCK), 1)
 
 
+# Measured v5e kernel-time constants (see benchmarks/bcsr_tuner_sweep.py
+# for the on-device validation):
+#   C_TILE  — per kept tile at pack=4: 254 ns/step ÷ 4 + 39 ns/slot DMA.
+#   C_EDGE  — per spilled edge: XLA row-gather runs at a FIXED ~2 ns/row
+#             regardless of index pattern (measured 65 GB/s on 128 B rows
+#             even for sequential indices — per-index rate-bound, not
+#             bandwidth-bound) + ~2.9 ns/edge in the one-hot scatter
+#             kernel, ×1.24 average chunk padding.
+C_TILE_NS = 254.0 / 4 + 39.0
+C_EDGE_NS = (2.0 + 2.9) * 1.24
+
+
 def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
                          expected_f: int = 64,
-                         scatter_penalty: float = 13.0,
+                         tile_ns: float = C_TILE_NS,
+                         edge_ns: float = C_EDGE_NS,
                          max_tile_bytes: int = 1 << 30) -> int:
     """Pick the tile/COO spill threshold from the measured occupancy histogram.
 
-    Cost model (HBM bytes; the kernel is bandwidth-bound):
-
-    - a kept tile costs ``block² · s_tile``  (tile read) plus
-      ``block · F · s_x`` (the X tile it multiplies),
-    - a spilled edge costs ``2 · F · s_x · scatter_penalty`` — gather +
-      scatter-accumulate bytes inflated by the measured per-row gather
-      latency (random-row gathers run far below the bandwidth roofline;
-      see ``benchmarks/bcsr_breakdown.py``).
+    Cost model (device TIME, measured constants above): a kept tile costs
+    ``tile_ns`` (grid step share + tile/X DMA at the achieved bandwidth),
+    a spilled edge costs ``edge_ns`` (rate-bound XLA row gather + one-hot
+    scatter).  ``expected_f``/dtype scale the tile's DMA share: wider or
+    f32 features raise both paths roughly proportionally, so the
+    break-even θ ≈ tile_ns/edge_ns (~50 edges/tile at F=64 bf16) moves
+    only mildly; the constants were fitted at F=64 bf16.
 
     For every candidate threshold θ (the distinct occupancy counts), total
-    cost = kept_tiles(θ)·tile_bytes + spilled_edges(θ)·edge_bytes, subject
-    to a storage guard: kept tiles may not exceed ``max_tile_bytes`` of HBM
+    cost = kept_tiles(θ)·tile_ns + spilled_edges(θ)·edge_ns, subject to a
+    storage guard: kept tiles may not exceed ``max_tile_bytes`` of HBM
     (prevents a huge uniform-random graph from materializing gigabytes of
     nearly-empty tiles).  Returns the argmin θ.
     """
@@ -188,9 +217,12 @@ def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
         return 0
     cnt = np.bincount(block_of_edge, minlength=nnzb)
     s_tile = 2 if dtype == jnp.bfloat16 else 4
-    s_x = s_tile  # the kernel streams X at the tile dtype
-    tile_bytes = block * block * s_tile + block * expected_f * s_x
-    edge_bytes = 2 * expected_f * 4 * scatter_penalty
+    # scale the tile's DMA share for wider-than-fitted X tiles (the fit
+    # point is F=64 bf16: 39 ns/slot ≈ 32 KB tile + 16 KB X at ~1.2 TB/s
+    # effective pipeline bandwidth)
+    f_eff = expected_f if expected_f <= 128 else _round_up(expected_f, 128)
+    dma_scale = (block * block * s_tile + block * f_eff * s_tile) / 49152.0
+    t_tile = (tile_ns - 39.0) + 39.0 * dma_scale
     order = np.sort(cnt)
     # candidate thresholds: each distinct count (+inf == spill everything)
     cands = np.unique(np.concatenate([order, [order[-1] + 1]]))
@@ -204,7 +236,7 @@ def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
         kept_edges = total - (csum[k - 1] if k > 0 else 0)
         if kept_tiles * block * block * s_tile > max_tile_bytes:
             continue
-        cost = kept_tiles * tile_bytes + (e - kept_edges) * edge_bytes
+        cost = kept_tiles * t_tile + (e - kept_edges) * edge_ns
         if cost < best_cost:
             best_cost, best_theta = cost, int(theta)
     return best_theta
@@ -217,7 +249,7 @@ def bcsr_structure_counts(cols, rows, block, grid_cols):
     return bcsr_structure(cols, rows, block, grid_cols)
 
 
-def _build_remainder(rows, cols, vals, nb, block):
+def _build_remainder(rows, cols, vals, nb, block, rem_k=REM_K):
     """Group remainder edges by row block into REM_K-edge padded chunks.
 
     Returns (rem_cols, rem_vals, rem_lrows, rem_step_rb) with one chunk
@@ -233,9 +265,9 @@ def _build_remainder(rows, cols, vals, nb, block):
     rows, cols, vals = rows[order], cols[order], vals[order]
     rb_of_edge = rows // block
     rbs, counts = np.unique(rb_of_edge, return_counts=True)
-    chunks_per_rb = -(-counts // REM_K)
+    chunks_per_rb = -(-counts // rem_k)
     s_r = int(chunks_per_rb.sum())
-    p = s_r * REM_K
+    p = s_r * rem_k
     rem_cols = np.zeros((p,), np.int32)
     rem_vals = np.zeros((p,), np.float32)
     rem_lrows = np.zeros((p,), np.int32)
@@ -247,31 +279,71 @@ def _build_remainder(rows, cols, vals, nb, block):
         rem_vals[dst:dst + cnt] = vals[src:src + cnt]
         rem_lrows[dst:dst + cnt] = rows[src:src + cnt] - rb * block
         src += cnt
-        dst += nch * REM_K
-    return (rem_cols, rem_vals.reshape(s_r, REM_K),
-            rem_lrows.reshape(s_r, REM_K), rem_step_rb)
+        dst += nch * rem_k
+    return (rem_cols, rem_vals.reshape(s_r, rem_k),
+            rem_lrows.reshape(s_r, rem_k), rem_step_rb)
 
 
-def _build_steps(block_rows, block_cols, nb):
-    """Kernel step list: real tiles + one dummy (zero-tile) step per row
-    block no tile covers, merged in row-sorted order."""
+def _build_steps(block_rows, block_cols, nb, pack: int = 1):
+    """Packed kernel step list: ``pack`` same-row tiles per grid step.
+
+    The tile kernel's measured cost is ~290 ns per grid step on v5e —
+    ~5× the HBM time of the 48 KB a step moves — so grid-step overhead,
+    not bandwidth, binds the kernel.  Packing amortizes it: each step
+    multiplies ``pack`` tiles of ONE row block (accumulation stays
+    correct), with rows padded to a multiple of ``pack`` using dummy
+    slots (the trailing zero tile, col 0).  Every row block gets at least
+    one step so all output blocks are written.
+
+    Returns ``(step_rows (S,), step_cols (S·pack,), step_bidx (S·pack,))``
+    — slot arrays stay FLAT (2D scalar-prefetch operands pad to 128 SMEM
+    lanes) — with steps sorted by row.  ``block_rows`` must be sorted
+    ascending.
+    """
     nnzb = len(block_rows)
-    covered = np.zeros((nb,), bool)
-    covered[block_rows] = True
-    miss = np.nonzero(~covered)[0].astype(np.int32)
-    step_rows = np.concatenate([block_rows, miss])
-    step_cols = np.concatenate([block_cols,
-                                np.zeros(len(miss), np.int32)])
-    step_bidx = np.concatenate([
-        np.arange(nnzb, dtype=np.int32),
-        np.full(len(miss), nnzb, np.int32),
-    ])
-    order = np.argsort(step_rows, kind="stable")
-    return step_rows[order], step_cols[order], step_bidx[order]
+    tile_cnt = np.bincount(block_rows, minlength=nb) if nnzb else \
+        np.zeros(nb, np.int64)
+    groups = np.maximum(-(-tile_cnt // pack), 1)
+    s = int(groups.sum())
+    step_rows = np.repeat(np.arange(nb, dtype=np.int32), groups)
+    flat_bidx = np.full(s * pack, nnzb, np.int32)
+    flat_cols = np.zeros(s * pack, np.int32)
+    if nnzb:
+        slot_start = np.zeros(nb, np.int64)
+        slot_start[1:] = np.cumsum(groups * pack)[:-1]
+        row_start_tile = np.zeros(nb, np.int64)
+        row_start_tile[1:] = np.cumsum(tile_cnt)[:-1]
+        tile_slot = (slot_start[block_rows]
+                     + (np.arange(nnzb) - row_start_tile[block_rows]))
+        flat_bidx[tile_slot] = np.arange(nnzb, dtype=np.int32)
+        flat_cols[tile_slot] = block_cols
+    return step_rows, flat_cols, flat_bidx
+
+
+def tune_pack(tile_cnt, candidates=(1, 2, 3, 4, 6, 8),
+              c_step: float = 254e-9, c_slot: float = 39e-9) -> int:
+    """Pick the tiles-per-step packing from the per-row tile histogram.
+
+    Cost model fitted on v5e measurements (50k banded bench, F=64 bf16):
+    a grid step costs ~254 ns fixed (scalar bookkeeping + pipeline
+    serialization) plus ~39 ns per packed slot (tile + X DMA at the
+    achieved bandwidth).  Total = Σ_rows ceil(cnt/p)·(c_step + p·c_slot);
+    dummy slots in short rows pay DMA for the shared zero tile, which the
+    p·c_slot term charges.  Measured: pack=4 is 2.1× pack=1 on rows of
+    ~3 tiles; pack=8 regresses (63% dummy slots).
+    """
+    best_p, best_cost = 1, float("inf")
+    for p in candidates:
+        groups = np.maximum(-(-tile_cnt // p), 1)
+        cost = float(groups.sum()) * (c_step + p * c_slot)
+        if cost < best_cost:
+            best_p, best_cost = p, cost
+    return int(best_p)
 
 
 def _build_half(rows, cols, vals, n, block, dtype=None,
-                min_block_edges: int = 0) -> _BCSRHalf:
+                min_block_edges: int = 0, pack="auto",
+                rem_k: int = REM_K) -> _BCSRHalf:
     from ..native import bcsr_fill, bcsr_structure
 
     n_pad = _round_up(max(n, 1), block)
@@ -282,8 +354,8 @@ def _build_half(rows, cols, vals, n, block, dtype=None,
         cols, rows, block, grid_cols
     )
 
-    rem = (np.zeros((0,), np.int32), np.zeros((0, REM_K), np.float32),
-           np.zeros((0, REM_K), np.int32), np.zeros((0,), np.int32))
+    rem = (np.zeros((0,), np.int32), np.zeros((0, rem_k), np.float32),
+           np.zeros((0, rem_k), np.int32), np.zeros((0,), np.int32))
     num_rem = 0
     if min_block_edges > 1 and nnzb > 0:
         cnt = np.bincount(block_of_edge, minlength=nnzb)
@@ -294,7 +366,7 @@ def _build_half(rows, cols, vals, n, block, dtype=None,
                 rows[edge_is_sparse].astype(np.int32),
                 cols[edge_is_sparse].astype(np.int32),
                 vals[edge_is_sparse].astype(np.float32),
-                nb, block,
+                nb, block, rem_k,
             )
             keep = ~edge_is_sparse
             rows, cols, vals = rows[keep], cols[keep], vals[keep]
@@ -314,7 +386,14 @@ def _build_half(rows, cols, vals, n, block, dtype=None,
     )
     if dtype is not None:
         blocks = blocks.astype(dtype)
-    step_rows, step_cols, step_bidx = _build_steps(block_rows, block_cols, nb)
+    if pack == "auto":
+        pack = tune_pack(
+            np.bincount(block_rows, minlength=nb) if nnzb
+            else np.zeros(nb, np.int64)
+        )
+    step_rows, step_cols, step_bidx = _build_steps(
+        block_rows, block_cols, nb, pack
+    )
     rem_cols, rem_vals, rem_lrows, rem_step_rb = rem
     return _BCSRHalf(
         blocks=jnp.asarray(blocks),
@@ -331,6 +410,7 @@ def _build_half(rows, cols, vals, n, block, dtype=None,
         num_cols=n_pad,
         nnzb=int(nnzb),
         num_rem=num_rem,
+        pack=int(pack),
     )
 
 
@@ -370,17 +450,23 @@ def _compiler_params():
 
 def _tile_kernel_call(half: _BCSRHalf, x: jnp.ndarray, f_pad: int,
                       f_tiles: int, f_tile: int, interpret: bool):
-    """out (num_rows, f_pad) f32 = Σ_steps blocks[bidx] @ x[col_block].
+    """out (num_rows, f_pad) f32 = Σ_steps Σ_u blocks[bidx[k,u]] @ x[col].
 
     Grid: (f_tiles, S) — F outermost so that, per F tile, the steps sweep
     in row-sorted order and the output tile stays VMEM-resident across
-    consecutive same-row steps.  Dummy steps (bidx == nnzb, the zero tile)
-    zero-define row blocks no tile covers.
+    consecutive same-row steps.  Each step multiplies ``pack`` tiles of
+    one row block (the blocks/x arrays are passed ``pack`` times with
+    per-slot index maps — measured ~290 ns of fixed per-grid-step cost
+    makes one-tile steps overhead-bound).  Dummy slots (bidx == nnzb, the
+    zero tile) pad short rows and zero-define row blocks no tile covers.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(rows_ref, cols_ref, bidx_ref, blocks_ref, x_ref, o_ref):
+    pack = half.pack
+
+    def kernel(rows_ref, cols_ref, bidx_ref, *refs):
+        o_ref = refs[-1]
         k = pl.program_id(1)
         prev = rows_ref[jnp.maximum(k - 1, 0)]
         is_first = jnp.logical_or(k == 0, rows_ref[k] != prev)
@@ -389,20 +475,30 @@ def _tile_kernel_call(half: _BCSRHalf, x: jnp.ndarray, f_pad: int,
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        o_ref[:] += jnp.dot(
-            blocks_ref[0], x_ref[:],
-            preferred_element_type=jnp.float32,
-        )
+        acc = jnp.dot(refs[0][0], refs[pack][:],
+                      preferred_element_type=jnp.float32)
+        for u in range(1, pack):
+            acc += jnp.dot(refs[u][0], refs[pack + u][:],
+                           preferred_element_type=jnp.float32)
+        o_ref[:] += acc
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, BLOCK, BLOCK),
+            lambda j, k, rows, cols, bidx, u=u: (bidx[k * pack + u], 0, 0),
+        )
+        for u in range(pack)
+    ] + [
+        pl.BlockSpec(
+            (BLOCK, f_tile),
+            lambda j, k, rows, cols, bidx, u=u: (cols[k * pack + u], j),
+        )
+        for u in range(pack)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(f_tiles, half.step_rows.shape[0]),
-        in_specs=[
-            pl.BlockSpec((1, BLOCK, BLOCK),
-                         lambda j, k, rows, cols, bidx: (bidx[k], 0, 0)),
-            pl.BlockSpec((BLOCK, f_tile),
-                         lambda j, k, rows, cols, bidx: (cols[k], j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (BLOCK, f_tile), lambda j, k, rows, cols, bidx: (rows[k], j)
         ),
@@ -414,7 +510,8 @@ def _tile_kernel_call(half: _BCSRHalf, x: jnp.ndarray, f_pad: int,
         grid_spec=grid_spec,
         interpret=interpret,
         **({"compiler_params": cp} if cp else {}),
-    )(half.step_rows, half.step_cols, half.step_bidx, half.blocks, x)
+    )(half.step_rows, half.step_cols, half.step_bidx,
+      *([half.blocks] * pack), *([x] * pack))
 
 
 def _rem_scatter_call(half: _BCSRHalf, xg: jnp.ndarray, base: jnp.ndarray,
@@ -433,6 +530,7 @@ def _rem_scatter_call(half: _BCSRHalf, xg: jnp.ndarray, base: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     dt = xg.dtype
+    rem_k = int(half.rem_vals.shape[1])
 
     def kernel(rb_ref, xg_ref, lrows_ref, lvals_ref, base_ref, o_ref):
         k = pl.program_id(1)
@@ -443,7 +541,7 @@ def _rem_scatter_call(half: _BCSRHalf, xg: jnp.ndarray, base: jnp.ndarray,
         def _():
             o_ref[:] = base_ref[:]
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, REM_K), 0)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, rem_k), 0)
         onehot = jnp.where(row_ids == lrows_ref[0, 0][None, :],
                            lvals_ref[0, 0][None, :], 0.0)
         o_ref[:] += jnp.dot(onehot.astype(dt), xg_ref[:],
@@ -454,12 +552,12 @@ def _rem_scatter_call(half: _BCSRHalf, xg: jnp.ndarray, base: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(f_tiles, s_r),
         in_specs=[
-            pl.BlockSpec((REM_K, f_tile), lambda j, k, rb: (k, j)),
+            pl.BlockSpec((rem_k, f_tile), lambda j, k, rb: (k, j)),
             # (1, 1, REM_K) blocks: TPU lowering requires the last two
             # block dims be (8k, 128k)-divisible OR equal to the array
             # dims — the leading-1 3D layout satisfies the latter.
-            pl.BlockSpec((1, 1, REM_K), lambda j, k, rb: (k, 0, 0)),
-            pl.BlockSpec((1, 1, REM_K), lambda j, k, rb: (k, 0, 0)),
+            pl.BlockSpec((1, 1, rem_k), lambda j, k, rb: (k, 0, 0)),
+            pl.BlockSpec((1, 1, rem_k), lambda j, k, rb: (k, 0, 0)),
             pl.BlockSpec((BLOCK, f_tile), lambda j, k, rb: (rb[k], j)),
         ],
         out_specs=pl.BlockSpec(
@@ -588,6 +686,112 @@ def bcsr_spmm(mat: BCSRMatrix, x: jnp.ndarray,
     return out.reshape(lead + out.shape[-2:])
 
 
+def _pad_half(half: _BCSRHalf, nnzb_max: int, s_max: int, sr_max: int,
+              num_rem_max: int) -> _BCSRHalf:
+    """Pad one half to the stacked-uniform shapes (see :func:`stack_bcsr`).
+
+    All padding is *semantically inert*: extra tiles are zero, extra steps
+    repeat the last row block (same-row steps skip the is_first zeroing
+    and accumulate a zero product), extra remainder chunks carry val 0.
+    """
+    nb = half.num_rows // BLOCK
+    blocks = np.asarray(half.blocks)
+    zero_tile = blocks[-1:]
+    pad_tiles = np.zeros((nnzb_max - half.nnzb,) + blocks.shape[1:],
+                         blocks.dtype)
+    blocks = np.concatenate([blocks[:half.nnzb], pad_tiles, zero_tile])
+
+    def pad1(a, target, fill):
+        a = np.asarray(a)
+        if len(a) >= target:
+            return a
+        return np.concatenate(
+            [a, np.full((target - len(a),) + a.shape[1:], fill, a.dtype)]
+        )
+
+    bidx = np.asarray(half.step_bidx).copy()
+    bidx[bidx == half.nnzb] = nnzb_max  # dummy slots -> new zero-tile index
+    pack = half.pack
+    rem_k = half.rem_vals.shape[1] if half.rem_vals.ndim == 2 else REM_K
+    rem_rb = np.asarray(half.rem_step_rb)
+    rb_fill = rem_rb[-1] if len(rem_rb) else 0
+    return _BCSRHalf(
+        blocks=jnp.asarray(blocks),
+        block_rows=jnp.asarray(pad1(half.block_rows, nnzb_max, 0)),
+        block_cols=jnp.asarray(pad1(half.block_cols, nnzb_max, 0)),
+        step_rows=jnp.asarray(pad1(half.step_rows, s_max, nb - 1)),
+        step_cols=jnp.asarray(pad1(half.step_cols, s_max * pack, 0)),
+        step_bidx=jnp.asarray(pad1(bidx, s_max * pack, nnzb_max)),
+        rem_cols=jnp.asarray(pad1(half.rem_cols, sr_max * rem_k, 0)),
+        rem_vals=jnp.asarray(pad1(half.rem_vals, sr_max, 0.0)),
+        rem_lrows=jnp.asarray(pad1(half.rem_lrows, sr_max, 0)),
+        rem_step_rb=jnp.asarray(pad1(half.rem_step_rb, sr_max, rb_fill)),
+        num_rows=half.num_rows,
+        num_cols=half.num_cols,
+        nnzb=nnzb_max,
+        num_rem=num_rem_max,
+        pack=pack,
+    )
+
+
+def stack_bcsr(mats) -> BCSRMatrix:
+    """Stack per-snapshot BCSR operators along a leading time axis.
+
+    The tiled path for **dynamic-edge sequences**: where a scan over
+    snapshots with changing edge lists previously had only the segment
+    path (per-step edge arrays are traced inside the scan, so no
+    host-side tiling could happen — the old ``ops/spmm.py`` caveat),
+    this host-builds every snapshot's operator, pads them to common
+    shapes, and stacks each array leaf with a leading T axis.  Because
+    ``BCSRMatrix`` is a registered pytree whose kernel consumes index
+    arrays as *runtime* scalar-prefetch operands (only their shapes are
+    compile-time), the result feeds ``jax.lax.scan`` directly::
+
+        mats = [BCSRMatrix.from_graph(g_t, dtype=jnp.bfloat16, pack=4)
+                for g_t in graphs]           # same N, same pack
+        stacked = stack_bcsr(mats)
+        def step(h, mat_t):                   # mat_t: one snapshot's op
+            return f(bcsr_spmm(mat_t, h)), None
+        h, _ = jax.lax.scan(step, h0, stacked)
+
+    One compiled kernel serves every step.  Padding cost: tiles pad to
+    the max tile count across snapshots (zero tiles multiply into rows
+    they already touch), steps to the max step count (same-row dummy
+    steps), remainder chunks to the max chunk count (zero-valued edges).
+    For typical dynamic graphs (EnglandCovid / TwitterTennis pattern:
+    edge sets drift, sizes stay same-order — reference
+    ``dataset/encovid.py:28-40``) the waste is a few percent.
+
+    All mats must share ``num_nodes`` and ``pack`` (build them with an
+    explicit ``pack=`` value, or the same graph family so ``'auto'``
+    agrees).
+    """
+    if not mats:
+        raise ValueError("stack_bcsr needs at least one operator")
+    n0, pk_f, pk_b = mats[0].num_nodes, mats[0].fwd.pack, mats[0].bwd.pack
+    for m in mats:
+        if m.num_nodes != n0:
+            raise ValueError("stack_bcsr: operators must share num_nodes")
+        if (m.fwd.pack, m.bwd.pack) != (pk_f, pk_b):
+            raise ValueError(
+                "stack_bcsr: operators must share pack (pass an explicit "
+                "pack= to BCSRMatrix.from_graph)"
+            )
+    halves = []
+    for side in ("fwd", "bwd"):
+        hs = [getattr(m, side) for m in mats]
+        nnzb_max = max(h.nnzb for h in hs)
+        s_max = max(h.step_rows.shape[0] for h in hs)
+        sr_max = max(h.rem_step_rb.shape[0] for h in hs)
+        rem_max = max(h.num_rem for h in hs)
+        padded = [_pad_half(h, nnzb_max, s_max, sr_max, rem_max)
+                  for h in hs]
+        halves.append(jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *padded
+        ))
+    return BCSRMatrix(fwd=halves[0], bwd=halves[1], num_nodes=n0)
+
+
 def hybrid_hbm_bytes(half: _BCSRHalf, f: int) -> dict:
     """HBM traffic model for one forward hybrid spmm (roofline accounting).
 
@@ -619,11 +823,11 @@ def hybrid_hbm_bytes(half: _BCSRHalf, f: int) -> dict:
     s_tile = 2 if half.blocks.dtype == jnp.bfloat16 else 4
     s_x = s_tile
     f_eff = f if f <= 128 else _round_up(f, 128)
-    steps = int(half.step_rows.shape[0])
+    slots = int(half.step_bidx.size)  # steps × pack tile/X fetch pairs
     nb_runs = int(np.unique(np.asarray(half.step_rows)).shape[0])
     tile = (
-        steps * BLOCK * BLOCK * s_tile          # tile fetches
-        + steps * BLOCK * f_eff * s_x           # X column blocks
+        slots * BLOCK * BLOCK * s_tile          # tile fetches (incl. dummy)
+        + slots * BLOCK * f_eff * s_x           # X column blocks
         + nb_runs * BLOCK * f_eff * 4           # f32 output write-backs
     )
     rem = 0

@@ -25,11 +25,15 @@ Backends:
                 and the auto path fires for every ordinary model call.
 
 A large graph whose arrays are *traced* (passed through a jit argument or
-sliced per-step out of a stacked dynamic-edge scan) cannot be tiled — the
-structure build needs host-side sorting.  That case falls back to the
-segment path with a loud one-time warning telling the user how to get the
-kernel (close over the graph, or pass a prenormalized operator from
-:mod:`.operators`).
+sliced per-step out of a stacked dynamic-edge scan) cannot be tiled
+on the fly — the structure build needs host-side sorting.  That case
+falls back to the segment path with a loud one-time warning telling the
+user how to get the kernel: close over the graph, pass a prenormalized
+operator from :mod:`.operators`, or — for dynamic-edge sequences —
+host-build per-snapshot operators and scan over
+:func:`~.bcsr.stack_bcsr` (one compiled kernel, per-step operator data
+as scan xs; the kernel consumes its index arrays as runtime
+scalar-prefetch operands, so traced slices are fine).
 
 ``spmm`` accepts X of shape (..., N, F) with arbitrary leading batch dims.
 """
@@ -102,8 +106,9 @@ def _warn_traced_fallback(graph: Graph) -> None:
         "over a concrete Graph in your jitted step (instead of passing it "
         "as a jit argument) or prebuild an operator with "
         "ops.operators.prenormalize_gcn/prenormalize_cheb/"
-        "DiffusionOperators.from_graph and pass that to the model. "
-        "Dynamic per-step edge lists inside a scan have no tiled path.",
+        "DiffusionOperators.from_graph and pass that to the model. For "
+        "dynamic per-step edge lists inside a scan, host-build one "
+        "BCSRMatrix per snapshot and scan over ops.stack_bcsr(mats).",
         stacklevel=3,
     )
 

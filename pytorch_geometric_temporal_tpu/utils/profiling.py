@@ -110,7 +110,7 @@ def host_memory_stats() -> dict:
 
 
 def device_time_per_iter(fn, x, iters: int = 400, lo_frac: float = 0.25,
-                         reps: int = 3) -> float:
+                         reps: int = 3, operands=()) -> float:
     """Per-iteration device time of ``x -> fn(x)``, dispatch-corrected.
 
     Remotely attached TPU platforms carry a large FIXED per-execution
@@ -125,24 +125,30 @@ def device_time_per_iter(fn, x, iters: int = 400, lo_frac: float = 0.25,
     which cancels the fixed overhead exactly.  ``fn`` must be
     shape-preserving and non-expanding (the carried value must stay finite
     across the loop).
+
+    ``operands``: extra pytrees passed as jit ARGUMENTS to
+    ``fn(x, *operands)`` each iteration.  Use this for any large constant
+    (a BCSR operator, a stacked graph) — closing over it instead bakes it
+    into the HLO as literals, which blows the remote-compile payload
+    limit on tunneled platforms and the constant-folding budget anywhere.
     """
     import jax
 
     @jax.jit
-    def run(x0, n):
-        out = jax.lax.fori_loop(0, n, lambda i, a: fn(a), x0)
+    def run(x0, n, *ops):
+        out = jax.lax.fori_loop(0, n, lambda i, a: fn(a, *ops), x0)
         return jax.tree_util.tree_reduce(
             lambda acc, leaf: acc + leaf.sum(), out, 0.0
         )
 
     lo = max(int(iters * lo_frac), 1)
-    float(run(x, iters))  # compile + pipeline fill
+    float(run(x, iters, *operands))  # compile + pipeline fill
     t_hi = t_lo = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(run(x, iters))
+        float(run(x, iters, *operands))
         t_hi = min(t_hi, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(run(x, lo))
+        float(run(x, lo, *operands))
         t_lo = min(t_lo, time.perf_counter() - t0)
     return max(t_hi - t_lo, 1e-12) / (iters - lo)
