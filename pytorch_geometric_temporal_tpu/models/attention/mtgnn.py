@@ -101,10 +101,20 @@ class GraphConstructor(nn.Module):
                                                 name="linear1")(v1))
             v2 = jnp.tanh(self.alpha * nn.Dense(self.dim, kernel_init=glorot,
                                                 name="linear2")(fe[idx]))
+        n = v1.shape[0]
+        if n > 8192:
+            raise ValueError(
+                f"MTGNN's GraphConstructor materializes an (N, N) learned "
+                f"adjacency — O(N²); N={n} would allocate "
+                f"{n * n * 4 / 2**30:.1f} GiB. The model is dense by "
+                "construction; its own large-N mechanism (reference "
+                "nn/attention/mtgnn.py: the `idx` argument) is subgraph "
+                "training — pass a sampled node subset as `idx` each step "
+                "so the constructed adjacency covers only that subset."
+            )
         a = v1 @ v2.T - v2 @ v1.T
         a = nn.relu(jnp.tanh(self.alpha * a))
         # top-k per row sparsification (reference `:221-226`)
-        n = a.shape[0]
         _, top_idx = jax.lax.top_k(a, self.k)
         mask = jnp.zeros_like(a)
         rows = jnp.arange(n)[:, None]

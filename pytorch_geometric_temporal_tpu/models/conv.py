@@ -249,38 +249,98 @@ def topk_pool(x, score_weight, ratio):
     return jnp.take(x, idx, axis=-2) * jnp.tanh(vals)[..., :, None], idx
 
 
+def _topk_support(e, k, chunk=512):
+    """Sparse learned support: top-k neighbors per row of relu(E Eᵀ).
+
+    Returns ``(cols (N, k), vals (N, k))`` where ``vals`` row-softmax the
+    kept scores.  Scores are computed in row chunks (O(chunk·N) memory,
+    never (N, N)); the selection indices are non-differentiable structure
+    (as in MTGNN's top-k), while the kept scores are recomputed from the
+    gathered embeddings so gradients flow to E.
+
+    Documented deviation from the dense form: the dense softmax
+    normalizes over ALL N entries (including the exp(0) mass of relu-
+    zeroed pairs); the sparse form normalizes over the k kept entries
+    only — the same deviation family as ``SpatialAttentionSparse``.
+    """
+    n = e.shape[0]
+    idx_chunks = []
+    for lo in range(0, n, chunk):
+        scores = jax.lax.stop_gradient(
+            nn.relu(e[lo : lo + chunk] @ e.T)
+        )
+        _, idx = jax.lax.top_k(scores, k)
+        idx_chunks.append(idx)
+    cols = jnp.concatenate(idx_chunks, axis=0)  # (N, k)
+    # differentiable per-edge scores on the kept pairs only
+    kept = nn.relu(jnp.einsum("nd,nkd->nk", e, e[cols]))
+    vals = jax.nn.softmax(kept, axis=1)
+    return cols, vals
+
+
 class AVWGCN(nn.Module):
     """Adaptive vertex-wise GCN from AGCRN (reference ``nn/recurrent/agcrn.py:7-53``).
 
     Graph-free: support  = softmax(relu(E Eᵀ)); Chebyshev-style stack of
     [I, support, 2·support·prev − prev2 ...]; per-node weights pooled from the
     node embedding matrix E via einsum.
+
+    Large-N story: the dense form materializes a (K, N, N) learned
+    support — O(N²) by construction (guarded above 8192 nodes).
+    ``topk`` switches to a sparse support that never materializes (N, N):
+    top-``topk`` neighbors per row are selected from chunked score rows,
+    the Chebyshev recursion runs on *vectors* (tₖ = 2·S·tₖ₋₁ − tₖ₋₂ via
+    gather/segment ops) instead of (N, N) matrices, and the softmax
+    normalizes over the kept entries (documented deviation — the dense
+    softmax includes exp(0) mass from relu-zeroed pairs).
     """
 
     out_channels: int
     K: int
     embedding_dimensions: int
+    topk: Optional[int] = None  # None = exact dense (N <= 8192)
 
     @nn.compact
     def __call__(self, x, e):
         # e: (N, D) node embeddings
         n = e.shape[0]
-        if n > 8192:
+        if self.topk is None and n > 8192:
             raise ValueError(
                 f"AVWGCN/AGCRN materializes a learned (K, N, N) dense "
                 f"support — O(N²) memory; N={n} would allocate "
-                f"{self.K * n * n * 4 / 2**30:.1f} GiB. This model family "
-                "is designed for small sensor graphs (reference datasets "
-                "have N <= 325); there is no sparse form of its learned "
-                "softmax adjacency."
+                f"{self.K * n * n * 4 / 2**30:.1f} GiB. Pass "
+                "AVWGCN(..., topk=16) (or AGCRN(..., topk=16)) for the "
+                "sparse learned support that never materializes (N, N) — "
+                "a documented approximation: softmax over the kept "
+                "entries instead of all N."
             )
-        supports = jax.nn.softmax(nn.relu(e @ e.T), axis=1)
-        support_set = [jnp.eye(n, dtype=x.dtype), supports]
-        for _ in range(2, self.K):
-            support_set.append(
-                jnp.matmul(2.0 * supports, support_set[-1]) - support_set[-2]
-            )
-        supports = jnp.stack(support_set, axis=0)  # (K, N, N)
+        if self.topk is not None:
+            cols, vals = _topk_support(e, self.topk)
+
+            def s_matvec(v):  # (..., N, C) -> (..., N, C)
+                gathered = jnp.take(v, cols.reshape(-1), axis=-2)
+                gathered = gathered.reshape(
+                    v.shape[:-2] + (n, self.topk) + v.shape[-1:]
+                )
+                return jnp.einsum("nk,...nkc->...nc", vals, gathered)
+
+            t_prev2, t_prev = x, s_matvec(x)
+            terms = [t_prev2, t_prev]
+            for _ in range(2, self.K):
+                t_new = 2.0 * s_matvec(t_prev) - t_prev2
+                terms.append(t_new)
+                t_prev2, t_prev = t_prev, t_new
+            x_g = jnp.stack(terms[: max(self.K, 1)], axis=-2)
+        else:
+            supports = jax.nn.softmax(nn.relu(e @ e.T), axis=1)
+            support_set = [jnp.eye(n, dtype=x.dtype), supports]
+            for _ in range(2, self.K):
+                support_set.append(
+                    jnp.matmul(2.0 * supports, support_set[-1])
+                    - support_set[-2]
+                )
+            supports = jnp.stack(support_set, axis=0)  # (K, N, N)
+            x_g = jnp.einsum("knm,...mi->...nki", supports, x)
         w_pool = self.param(
             "weights_pool",
             glorot,
@@ -291,5 +351,4 @@ class AVWGCN(nn.Module):
         )
         weights = jnp.einsum("nd,dkio->nkio", e, w_pool)  # (N, K, in, out)
         bias = e @ b_pool  # (N, out)
-        x_g = jnp.einsum("knm,...mi->...nki", supports, x)  # (..., N, K, in)
         return jnp.einsum("...nki,nkio->...no", x_g, weights) + bias

@@ -16,12 +16,20 @@ from ..conv import AVWGCN
 
 
 class AGCRN(nn.Module):
-    """forward: (X (B, N, F), E (N, D), H=None) -> H (B, N, C)."""
+    """forward: (X (B, N, F), E (N, D), H=None) -> H (B, N, C).
+
+    ``topk``: large-N mode — the learned support keeps only the top-k
+    neighbors per node and the Chebyshev recursion runs on vectors, so no
+    (N, N) tensor is ever materialized (see :class:`~..conv.AVWGCN` for
+    the documented softmax deviation).  ``None`` (default) is the exact
+    dense reference form, guarded above 8192 nodes.
+    """
 
     number_of_nodes: int
     out_channels: int
     K: int
     embedding_dimensions: int
+    topk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, e, h: Optional[jnp.ndarray] = None):
@@ -40,8 +48,10 @@ class AGCRN(nn.Module):
         C = self.out_channels
         if h is None:
             h = jnp.zeros(x.shape[:-1] + (C,), x.dtype)
-        gate = AVWGCN(2 * C, self.K, self.embedding_dimensions, name="gate")
-        update = AVWGCN(C, self.K, self.embedding_dimensions, name="update")
+        gate = AVWGCN(2 * C, self.K, self.embedding_dimensions,
+                      topk=self.topk, name="gate")
+        update = AVWGCN(C, self.K, self.embedding_dimensions,
+                        topk=self.topk, name="update")
         xh = jnp.concatenate([x, h], axis=-1)
         z, r = jnp.split(nn.sigmoid(gate(xh, e)), 2, axis=-1)
         hc = nn.tanh(update(jnp.concatenate([x, z * h], axis=-1), e))
