@@ -219,6 +219,32 @@ class PartitionedGraph:
         spec[node_axis % xp.ndim] = axis_name
         return jax.device_put(xp, NamedSharding(mesh, PartitionSpec(*spec)))
 
+    def ici_bytes_per_step(self, f: int, dtype_bytes: int = 4) -> int:
+        """Per-device ICI EGRESS bytes for ONE forward aggregation.
+
+        The analytic basis for multi-chip scaling claims where real
+        multi-chip hardware is unavailable (VERDICT r3 #8): predicted
+        comm volume + measured single-chip kernel time bound the expected
+        efficiency.  Ring-algorithm egress per device:
+
+        - ``'receiver'``/gather:   all_gather of (N_pad, F) —
+          (P−1)·npp·F·b (each device's shard traverses P−1 hops).
+        - ``'sender'``/scatter:    psum_scatter of (N_pad, F) partials —
+          (P−1)·npp·F·b (reduce-scatter moves one shard per hop).
+        - ``'halo'``:              all_to_all of (P, H, F) —
+          (P−1)·H·F·b (only boundary rows travel; H = max halo rows any
+          peer needs, ``halo_size``).
+
+        Backward doubles each (all_gather ↔ reduce_scatter are mutual
+        transposes; all_to_all is self-transposed).
+        """
+        p = self.num_parts
+        if self.partitioned_by == "halo":
+            rows = self.halo_size
+        else:
+            rows = self.nodes_per_part
+        return (p - 1) * rows * f * dtype_bytes
+
 
 def spmm_partitioned(
     pgraph: PartitionedGraph,

@@ -273,3 +273,33 @@ def test_partitioned_exchange_validation(rng):
         spmm_partitioned(pg_r, x, mesh, exchange="bogus")
     with pytest.raises(ValueError):
         PartitionedGraph.from_graph(g, 4, by="bogus")
+
+
+def test_ici_bytes_per_step_model():
+    """Analytic ICI volume: matches the built partitions' actual shapes.
+
+    Basis for the scaling table in docs/performance.md (VERDICT r3 #8):
+    gather/scatter move one (npp, F) shard per ring hop; halo moves only
+    the (halo_size, F) boundary block per peer.
+    """
+    import numpy as np
+
+    from pytorch_geometric_temporal_tpu.ops import Graph
+    from pytorch_geometric_temporal_tpu.parallel import PartitionedGraph
+
+    rng = np.random.default_rng(0)
+    n, e, f, p = 1024, 8000, 16, 4
+    s = rng.integers(0, n, size=e)
+    r = np.clip(s + rng.integers(-30, 31, size=e), 0, n - 1)
+    w = rng.uniform(0.1, 1.0, e).astype(np.float32)
+    g = Graph.from_edge_index(np.stack([s, r]), w, num_nodes=n)
+
+    pg_r = PartitionedGraph.from_graph(g, p, by="receiver")
+    assert pg_r.ici_bytes_per_step(f) == (p - 1) * pg_r.nodes_per_part * f * 4
+
+    pg_h = PartitionedGraph.from_graph(g, p, by="halo")
+    assert pg_h.halo_size > 0
+    assert pg_h.ici_bytes_per_step(f) == (p - 1) * pg_h.halo_size * f * 4
+    # banded cut: the halo is a small fraction of the node shard
+    assert pg_h.halo_size < pg_r.nodes_per_part / 2
+    assert pg_h.ici_bytes_per_step(f) < pg_r.ici_bytes_per_step(f)
