@@ -64,12 +64,21 @@ class EvolveGCNO(nn.Module):
 class EvolveGCNOSeq(nn.Module):
     """EvolveGCN-O scanned over a snapshot sequence with weight carry.
 
-    forward: (xs (T, N, F), graph) -> (T, N, F).  ``graph`` is either a
-    static :class:`Graph` or a stacked dynamic graph (edge arrays (T, E),
-    from ``ops.stack_graphs``).  Step 0 runs with ``weight=None`` (the
-    learned initial weight, reference ``evolvegcno.py:186-189``); the
-    evolved weight then threads through a ``lax.scan`` — the functional
-    equivalent of the reference's persistent module state.
+    forward: (xs (T, N, F), graph) -> (T, N, F).  ``graph`` is one of
+
+    - a static :class:`Graph`,
+    - a stacked dynamic graph (edge arrays (T, E), ``ops.stack_graphs``)
+      — aggregation runs the segment path per step, or
+    - a stacked **prenormalized BCSR operator**
+      (``ops.operators.stack_bcsr_gcn(graphs)``) — the tiled Pallas
+      kernel serves every step of a LARGE dynamic-edge sequence
+      (construct the Seq with ``normalize=False``: normalization is
+      baked into the tiles host-side).
+
+    Step 0 runs with ``weight=None`` (the learned initial weight,
+    reference ``evolvegcno.py:186-189``); the evolved weight then threads
+    through a ``lax.scan`` — the functional equivalent of the reference's
+    persistent module state.
     """
 
     in_channels: int
@@ -79,10 +88,38 @@ class EvolveGCNOSeq(nn.Module):
 
     @nn.compact
     def __call__(self, xs, graph):
+        import jax
+
+        from ...ops.bcsr import BCSRMatrix
         from ...ops.graph import Graph as G
 
         cell = EvolveGCNO(self.in_channels, self.improved, self.normalize,
                           self.add_self_loops, name="cell")
+        if isinstance(graph, BCSRMatrix):
+            if self.normalize:
+                raise ValueError(
+                    "EvolveGCNOSeq over a stacked BCSR operator needs "
+                    "normalize=False — the GCN normalization is baked "
+                    "into the tiles by ops.operators.stack_bcsr_gcn"
+                )
+            g0 = jax.tree_util.tree_map(lambda a: a[0], graph)
+            out0, w_carry = cell(xs[0], g0, None)
+
+            def step_op(c, carry, xt_g):
+                xt, g = xt_g
+                out, new_w = c(xt, g, carry)
+                return new_w, out
+
+            scan = nn.scan(
+                step_op,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )
+            rest_ops = jax.tree_util.tree_map(lambda a: a[1:], graph)
+            _, outs = scan(cell, w_carry, (xs[1:], rest_ops))
+            return jnp.concatenate([out0[None], outs], axis=0)
         dynamic = graph.senders.ndim == 2
 
         def graph_at(t_arrays):

@@ -171,6 +171,32 @@ def prenormalize_gcn(graph: Graph, improved: bool = False,
     return _maybe_bcsr(g, bcsr, block, dtype, min_block_edges)
 
 
+def stack_bcsr_gcn(graphs, improved: bool = False,
+                   add_self_loops: bool = True, dtype=None,
+                   min_block_edges="auto", expected_f: int = 64,
+                   pack: int = 4):
+    """Stacked prenormalized GCN operators for a dynamic-edge sequence.
+
+    Host-builds ``host_gcn_norm`` + BCSR for every snapshot and stacks
+    them (``ops.stack_bcsr``) so a ``lax.scan`` over the sequence runs
+    the tiled Pallas kernel at every step — the large-graph path for
+    dynamic sequences (EvolveGCN-style; see
+    ``EvolveGCNOSeq(normalize=False)``).  ``pack`` is pinned (not
+    ``'auto'``) because stacking requires all snapshots to agree.
+    """
+    from .bcsr import BCSRMatrix, stack_bcsr
+
+    mats = [
+        BCSRMatrix.from_graph(
+            host_gcn_norm(g, improved, add_self_loops), dtype=dtype,
+            min_block_edges=min_block_edges, expected_f=expected_f,
+            pack=pack,
+        )
+        for g in graphs
+    ]
+    return stack_bcsr(mats)
+
+
 def prenormalize_cheb(graph: Graph, normalization: Optional[str] = "sym",
                       lambda_max: Optional[float] = None, bcsr: bool = False,
                       block: int = 128, dtype=None,

@@ -145,3 +145,32 @@ def test_stack_bcsr_validation():
         stack_bcsr([m1, m1b])
     with pytest.raises(ValueError, match="at least one"):
         stack_bcsr([])
+
+
+def test_evolvegcno_seq_over_stacked_operator():
+    """EvolveGCNOSeq runs the tiled operator path for dynamic sequences.
+
+    The stacked prenormalized operator (``stack_bcsr_gcn``) must produce
+    the same sequence output as the same model over the stacked dynamic
+    Graph (segment path, in-trace gcn_norm).
+    """
+    from pytorch_geometric_temporal_tpu.models import EvolveGCNOSeq
+    from pytorch_geometric_temporal_tpu.ops import stack_bcsr_gcn, stack_graphs
+
+    graphs = make_graphs(seed=7, n=200, t=4)
+    rng = np.random.default_rng(8)
+    f = 8
+    xs = jnp.asarray(rng.normal(size=(4, 200, f)).astype(np.float32))
+
+    ref_model = EvolveGCNOSeq(in_channels=f)
+    params = ref_model.init(jax.random.PRNGKey(0), xs, stack_graphs(graphs))
+    want = ref_model.apply(params, xs, stack_graphs(graphs))
+
+    ops = stack_bcsr_gcn(graphs, min_block_edges=16, pack=2)
+    op_model = EvolveGCNOSeq(in_channels=f, normalize=False)
+    got = op_model.apply(params, xs, ops)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+    with pytest.raises(ValueError, match="normalize=False"):
+        EvolveGCNOSeq(in_channels=f).apply(params, xs, ops)
