@@ -268,3 +268,23 @@ def test_f16_dynamic_loss_scale_skips_overflow():
     assert float(state3.params["w"]) != float(state2.params["w"])
     state4, scale4, _ = step(state3, scale3, big)
     assert float(scale4.scale) == float(scale2.scale) * 2.0
+
+
+@pytest.mark.skipif(
+    not available("wikivital_mathematics.json"),
+    reason="wikivital_mathematics.json unavailable (download-gated)",
+)
+def test_wikimaths_case_study_accuracy():
+    """Reference-published WikiMaths case study: GConvGRU test MSE.
+
+    The reference's only in-docs accuracy number
+    (``docs/source/notes/introduction.rst:378``): MSE 0.5264 at 50
+    epochs.  Runs a reduced 10-epoch pass and asserts the model lands in
+    the publishable range (the 50-epoch bench field
+    ``wikimaths_gconvgru_test_mse`` carries the full protocol).
+    """
+    import bench as bench_mod
+
+    mse_val = bench_mod.bench_accuracy_wikimaths(epochs=10)
+    assert mse_val is not None
+    assert mse_val < 0.95, mse_val
