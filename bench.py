@@ -108,7 +108,9 @@ def bench_jax(ei, w, x_np, y_np):
     jax.block_until_ready(params)
     t_hi = t_lo = float("inf")
     loss = None
-    for _ in range(3):
+    # min over 5 reps: the remote tunnel adds multi-ms jitter per
+    # dispatch; 3 reps left ~10% run-to-run variance in the slope.
+    for _ in range(5):
         t0 = time.perf_counter()
         params, st, loss = run(params, st, STEPS)
         jax.block_until_ready(params)
