@@ -139,15 +139,19 @@ def _train_jax(data, ei, w, means, stds, schedule, test_idx, batch_size, K):
     g = Graph.from_edge_index(ei, w.astype(np.float32), num_nodes=n)
     std = jnp.asarray(stds, jnp.float32)
     # Mask missing readings by comparing the STORED normalized labels to
-    # the normalized-zero constant, computed with the exact same f64→f32
-    # rounding the series normalization used.  Recomputing ``y·std+mean
-    # != 0`` instead is a fp knife edge: XLA may fuse the de-norm as an
-    # FMA whose rounding differs from the normalization round-trip, which
-    # silently flips ~2% of mask bits and changes the objective.  The
-    # de-normalized MAE itself is computed as ``|pred−y|·std`` (the mean
-    # term cancels exactly), so no knife edge remains anywhere.
-    norm0 = jnp.asarray(((0.0 - np.asarray(means, np.float64))
-                         / np.asarray(stds, np.float64)).astype(np.float32))
+    # the normalized-zero constant, computed with the exact same pure-f32
+    # arithmetic the series normalization used (``(series − means)/stds``
+    # with f32 means/stds — a f64 divide-then-cast would double-round to
+    # a different ulp for some mean/std values).  Recomputing
+    # ``y·std+mean != 0`` instead is a fp knife edge: XLA may fuse the
+    # de-norm as an FMA whose rounding differs from the normalization
+    # round-trip, which silently flips ~2% of mask bits and changes the
+    # objective.  The de-normalized MAE itself is computed as
+    # ``|pred−y|·std`` (the mean term cancels exactly), so no knife edge
+    # remains anywhere.
+    m32 = np.asarray(means, np.float32)
+    s32 = np.asarray(stds, np.float32)
+    norm0 = jnp.asarray((np.float32(0.0) - m32) / s32)
 
     model = DCRNNSeq(out_channels=f, K=K, unroll=IN_T)
     x0, _ = _batch(data, schedule[0])
@@ -239,10 +243,12 @@ def _train_torch(data, ei, w, means, stds, schedule, test_idx, batch_size,
     std = torch.as_tensor(stds, dtype=torch.float32)
     # same knife-edge-free mask/de-norm formulation as _train_jax (the
     # mask tests the stored normalized labels against the normalized-zero
-    # constant; |pred−y|·std == de-normalized MAE with the mean cancelled)
-    norm0 = torch.as_tensor(((0.0 - np.asarray(means, np.float64))
-                             / np.asarray(stds, np.float64))
-                            .astype(np.float32))
+    # constant, computed in the normalization's own pure-f32 arithmetic;
+    # |pred−y|·std == de-normalized MAE with the mean cancelled)
+    norm0 = torch.as_tensor(
+        (np.float32(0.0) - np.asarray(means, np.float32))
+        / np.asarray(stds, np.float32)
+    )
 
     def loss_fn(x, y):  # reference utils.py:10-18 semantics
         pred = forward(x)

@@ -100,15 +100,17 @@ def main(epochs=20, patience=10, min_delta=0.0):
     best_val, bad_epochs = float("inf"), 0
     start_epoch = int(state.step) // train.features.shape[0]
     for epoch in range(start_epoch, epochs):
+        prev_state = state  # rollback target: the FULL pre-epoch state
         with timer:
             state, train_mse = train_epoch(state, train.features,
                                            train.targets)
             train_mse = float(train_mse)  # blocks: StepTimer needs sync
-        params, opt_state, ok = guard.check(state.params, state.opt_state,
-                                            train_mse)
+        _, _, ok = guard.check(state.params, state.opt_state, train_mse)
         if not ok:
-            state = TrainState(step=state.step, params=params,
-                               opt_state=opt_state)
+            # restore step along with params/opt_state — keeping the
+            # diverged epoch's advanced counter would skew the
+            # step//num_snapshots resume arithmetic
+            state = prev_state
             print(f"epoch {epoch}: diverged (loss {train_mse:.4f}), "
                   "rolled back")
             continue

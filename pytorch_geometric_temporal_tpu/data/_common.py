@@ -25,8 +25,19 @@ def lag_windows(stacked: np.ndarray, lags: int):
 
 
 def binned_onehot(bin_ids: np.ndarray, num_bins: int) -> np.ndarray:
-    """One-hot rows for integer bin ids in ``[0, num_bins)`` (vectorized)."""
-    return np.eye(num_bins)[np.asarray(bin_ids, dtype=np.intp)]
+    """One-hot rows for integer bin ids in ``[0, num_bins)`` (vectorized).
+
+    Out-of-range ids raise (the reference's ``classes.index(value)`` path
+    raised ``ValueError`` too — numpy fancy indexing would otherwise
+    silently WRAP a corrupt ``-1`` to the last bin).
+    """
+    ids = np.asarray(bin_ids, dtype=np.intp)
+    if ids.size and (ids.min() < 0 or ids.max() >= num_bins):
+        raise ValueError(
+            f"bin ids out of range [0, {num_bins}): "
+            f"min={ids.min()}, max={ids.max()}"
+        )
+    return np.eye(num_bins)[ids]
 
 
 def zscore(stacked: np.ndarray, axis=0, eps: float = 0.0) -> np.ndarray:

@@ -264,6 +264,7 @@ def _topk_support(e, k, chunk=512):
     only — the same deviation family as ``SpatialAttentionSparse``.
     """
     n = e.shape[0]
+    k = min(k, n)  # lax.top_k rejects k > N with a low-level shape error
     idx_chunks = []
     for lo in range(0, n, chunk):
         scores = jax.lax.stop_gradient(

@@ -136,9 +136,10 @@ class BCSRMatrix:
         the COO remainder path instead of materializing a dense tile.
         ``'auto'`` picks the threshold from the graph's measured block-
         occupancy histogram via :func:`tune_min_block_edges` (uses
-        ``expected_f``, the typical feature width, in its byte model); an
-        int fixes it (the break-even is ~10 edges/tile at F=64 bf16; 32
-        leaves margin); 0 disables the split.
+        ``expected_f``, the typical feature width, in its measured time
+        model); an int fixes it (the measured break-even is ~17
+        edges/tile at F=64 bf16; the default 32 leaves margin); 0
+        disables the split.
 
         ``pack``: tiles multiplied per tile-kernel grid step (see
         :func:`_build_steps` — amortizes the measured ~290 ns/step fixed
@@ -198,7 +199,7 @@ def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
     a spilled edge costs ``edge_ns`` (rate-bound XLA row gather + one-hot
     scatter).  ``expected_f``/dtype scale the tile's DMA share: wider or
     f32 features raise both paths roughly proportionally, so the
-    break-even θ ≈ tile_ns/edge_ns (~50 edges/tile at F=64 bf16) moves
+    break-even θ ≈ tile_ns/edge_ns ≈ 17 edges/tile at F=64 bf16 moves
     only mildly; the constants were fitted at F=64 bf16.
 
     For every candidate threshold θ (the distinct occupancy counts), total
@@ -715,17 +716,20 @@ def _pad_half(half: _BCSRHalf, nnzb_max: int, s_max: int, sr_max: int,
     rem_k = half.rem_vals.shape[1] if half.rem_vals.ndim == 2 else REM_K
     rem_rb = np.asarray(half.rem_step_rb)
     rb_fill = rem_rb[-1] if len(rem_rb) else 0
+    # leaves stay NUMPY here: stack_bcsr np.stacks them and uploads each
+    # stacked leaf ONCE (per-snapshot jnp round trips would cost a
+    # device↔host transfer pair per array on tunneled platforms)
     return _BCSRHalf(
-        blocks=jnp.asarray(blocks),
-        block_rows=jnp.asarray(pad1(half.block_rows, nnzb_max, 0)),
-        block_cols=jnp.asarray(pad1(half.block_cols, nnzb_max, 0)),
-        step_rows=jnp.asarray(pad1(half.step_rows, s_max, nb - 1)),
-        step_cols=jnp.asarray(pad1(half.step_cols, s_max * pack, 0)),
-        step_bidx=jnp.asarray(pad1(bidx, s_max * pack, nnzb_max)),
-        rem_cols=jnp.asarray(pad1(half.rem_cols, sr_max * rem_k, 0)),
-        rem_vals=jnp.asarray(pad1(half.rem_vals, sr_max, 0.0)),
-        rem_lrows=jnp.asarray(pad1(half.rem_lrows, sr_max, 0)),
-        rem_step_rb=jnp.asarray(pad1(half.rem_step_rb, sr_max, rb_fill)),
+        blocks=blocks,
+        block_rows=pad1(half.block_rows, nnzb_max, 0),
+        block_cols=pad1(half.block_cols, nnzb_max, 0),
+        step_rows=pad1(half.step_rows, s_max, nb - 1),
+        step_cols=pad1(half.step_cols, s_max * pack, 0),
+        step_bidx=pad1(bidx, s_max * pack, nnzb_max),
+        rem_cols=pad1(half.rem_cols, sr_max * rem_k, 0),
+        rem_vals=pad1(half.rem_vals, sr_max, 0.0),
+        rem_lrows=pad1(half.rem_lrows, sr_max, 0),
+        rem_step_rb=pad1(half.rem_step_rb, sr_max, rb_fill),
         num_rows=half.num_rows,
         num_cols=half.num_cols,
         nnzb=nnzb_max,
@@ -769,6 +773,9 @@ def stack_bcsr(mats) -> BCSRMatrix:
     if not mats:
         raise ValueError("stack_bcsr needs at least one operator")
     n0, pk_f, pk_b = mats[0].num_nodes, mats[0].fwd.pack, mats[0].bwd.pack
+    rk0 = mats[0].fwd.rem_vals.shape[-1] if mats[0].fwd.rem_vals.ndim == 2 \
+        else REM_K
+    dt0 = mats[0].fwd.blocks.dtype
     for m in mats:
         if m.num_nodes != n0:
             raise ValueError("stack_bcsr: operators must share num_nodes")
@@ -776,6 +783,19 @@ def stack_bcsr(mats) -> BCSRMatrix:
             raise ValueError(
                 "stack_bcsr: operators must share pack (pass an explicit "
                 "pack= to BCSRMatrix.from_graph)"
+            )
+        rk = m.fwd.rem_vals.shape[-1] if m.fwd.rem_vals.ndim == 2 else REM_K
+        if m.fwd.num_rem and mats[0].fwd.num_rem and rk != rk0:
+            raise ValueError(
+                "stack_bcsr: operators must share rem_k (pass an explicit "
+                "rem_k= to BCSRMatrix.from_graph)"
+            )
+        if m.fwd.blocks.dtype != dt0:
+            raise ValueError(
+                "stack_bcsr: operators must share tile dtype (mixing "
+                "would silently promote bf16 tiles to f32 and drop the "
+                "bf16 kernel path) — pass the same dtype= to every "
+                "BCSRMatrix.from_graph"
             )
     halves = []
     for side in ("fwd", "bwd"):
@@ -787,7 +807,7 @@ def stack_bcsr(mats) -> BCSRMatrix:
         padded = [_pad_half(h, nnzb_max, s_max, sr_max, rem_max)
                   for h in hs]
         halves.append(jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves), *padded
+            lambda *leaves: jnp.asarray(np.stack(leaves)), *padded
         ))
     return BCSRMatrix(fwd=halves[0], bwd=halves[1], num_nodes=n0)
 
@@ -834,10 +854,11 @@ def hybrid_hbm_bytes(half: _BCSRHalf, f: int) -> dict:
     if half.num_rem:
         p = int(half.rem_cols.shape[0])
         s_r = int(half.rem_step_rb.shape[0])
+        rem_k = int(half.rem_vals.shape[-1])  # the half's actual chunk width
         touched = int(np.unique(np.asarray(half.rem_step_rb)).shape[0])
         rem = (
             p * f_eff * s_x * 3                 # gather read + xg write + read
-            + s_r * REM_K * 8                   # vals (f32) + lrows (i32)
+            + s_r * rem_k * 8                   # vals (f32) + lrows (i32)
             + touched * BLOCK * f_eff * 4 * 2   # base read + out write
         )
     return {"tile": tile, "remainder": rem, "total": tile + rem}

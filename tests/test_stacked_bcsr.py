@@ -143,6 +143,16 @@ def test_stack_bcsr_validation():
     m1b = BCSRMatrix.from_graph(g1, pack=4)
     with pytest.raises(ValueError, match="pack"):
         stack_bcsr([m1, m1b])
+    m1bf16 = BCSRMatrix.from_graph(g1, pack=2, dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="dtype"):
+        stack_bcsr([m1, m1bf16])
+    g3 = make_graphs(seed=9, n=128, t=1)[0]
+    m_rk1 = BCSRMatrix.from_graph(g3, pack=2, min_block_edges=1000)
+    m_rk2 = BCSRMatrix.from_graph(g3, pack=2, min_block_edges=1000,
+                                  rem_k=256)
+    if m_rk1.fwd.num_rem and m_rk2.fwd.num_rem:
+        with pytest.raises(ValueError, match="rem_k"):
+            stack_bcsr([m_rk1, m_rk2])
     with pytest.raises(ValueError, match="at least one"):
         stack_bcsr([])
 
