@@ -352,6 +352,58 @@ def bench_kernel_edges(n=50_000, deg=40, f=64, band=96, iters=400):
     return e / dt_bcsr, e / dt_seg, mfu, hbm_gbs
 
 
+def bench_dynamic_edges(n=10_000, deg=30, t=3, f=64, band=64):
+    """Stacked dynamic-edge sequence through the tiled kernel in a scan.
+
+    The capability the segment path used to own exclusively (per-step
+    edge lists are traced inside a scan): per-snapshot BCSR operators
+    are host-built, stacked (``ops.stack_bcsr``), and scanned — one
+    compiled kernel serves every step.  Returns edges/s over the whole
+    T-step scan (dispatch-corrected).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_geometric_temporal_tpu.ops import (
+        BCSRMatrix, Graph, bcsr_spmm, stack_bcsr,
+    )
+
+    rng = np.random.default_rng(0)
+    graphs = []
+    for _ in range(t):
+        e = n * deg
+        s = rng.integers(0, n, size=e)
+        r = np.clip(s + rng.integers(-band, band + 1, size=e), 0, n - 1)
+        w = rng.uniform(0.1, 1.0, e).astype(np.float32)
+        d = np.bincount(r, weights=w, minlength=n).astype(np.float32)
+        w = w / np.maximum(d[r], 1e-6)
+        graphs.append(Graph.from_edge_index(np.stack([s, r]), w,
+                                            num_nodes=n))
+    mats = [BCSRMatrix.from_graph(g, dtype=jnp.bfloat16,
+                                  min_block_edges="auto", pack=3)
+            for g in graphs]
+    st = stack_bcsr(mats)
+    e_total = sum(g.num_edges for g in graphs)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+
+    from pytorch_geometric_temporal_tpu.utils.profiling import (
+        device_time_per_iter,
+    )
+
+    def scan_once(h, st):
+        def step(h, mat_t):
+            return jnp.tanh(bcsr_spmm(mat_t, h)), None
+
+        h, _ = jax.lax.scan(step, h, st)
+        return h
+
+    # device_time_per_iter syncs via a scalar host fetch (the only
+    # reliable sync on this platform's tunnel) and passes the stacked
+    # operator as a jit operand, not an HLO constant
+    dt_scan = device_time_per_iter(scan_once, x, iters=300, operands=(st,))
+    return e_total / dt_scan
+
+
 def main():
     rng = np.random.default_rng(0)
     ei, w, x, y = make_data(rng)
@@ -408,6 +460,11 @@ def main():
         rec["bcsr_mxu_mfu_pct"] = round(mfu, 2)
         rec["bcsr_hbm_gbs"] = round(hbm_gbs, 1)
         rec["bcsr_hbm_pct_peak"] = round(hbm_gbs / 819.0 * 100.0, 1)
+    try:
+        dyn_eps = bench_dynamic_edges()
+        rec["dynamic_bcsr_edges_per_sec"] = round(dyn_eps / 1e6, 1)
+    except Exception:
+        pass
     try:
         from benchmarks.metrla_protocol import run_parity
 

@@ -396,7 +396,14 @@ def _build_half(rows, cols, vals, n, block, dtype=None,
         block_rows, block_cols, nb, pack
     )
     rem_cols, rem_vals, rem_lrows, rem_step_rb = rem
-    return _BCSRHalf(
+    host = {
+        "blocks": blocks, "block_rows": block_rows,
+        "block_cols": block_cols, "step_rows": step_rows,
+        "step_cols": step_cols, "step_bidx": step_bidx,
+        "rem_cols": rem_cols, "rem_vals": rem_vals,
+        "rem_lrows": rem_lrows, "rem_step_rb": rem_step_rb,
+    }
+    half = _BCSRHalf(
         blocks=jnp.asarray(blocks),
         block_rows=jnp.asarray(block_rows),
         block_cols=jnp.asarray(block_cols),
@@ -413,6 +420,12 @@ def _build_half(rows, cols, vals, n, block, dtype=None,
         num_rem=num_rem,
         pack=int(pack),
     )
+    # host-side originals cached OUTSIDE the pytree: stack_bcsr pads and
+    # stacks from these, because device→host fetches are glacial on
+    # tunneled platforms (~seconds per array) — same pattern as
+    # Graph.host_edges
+    object.__setattr__(half, "_host", host)
+    return half
 
 
 def _f_layout(x, f_tile):
@@ -696,40 +709,49 @@ def _pad_half(half: _BCSRHalf, nnzb_max: int, s_max: int, sr_max: int,
     and accumulate a zero product), extra remainder chunks carry val 0.
     """
     nb = half.num_rows // BLOCK
-    blocks = np.asarray(half.blocks)
+    hostc = getattr(half, "_host", None)
+
+    def host(name):
+        # prefer the cached host-side originals (device→host fetches are
+        # glacial on tunneled platforms); fall back to a fetch
+        if hostc is not None:
+            return hostc[name]
+        return np.asarray(getattr(half, name))
+
+    blocks = np.asarray(host("blocks"))
     zero_tile = blocks[-1:]
     pad_tiles = np.zeros((nnzb_max - half.nnzb,) + blocks.shape[1:],
                          blocks.dtype)
     blocks = np.concatenate([blocks[:half.nnzb], pad_tiles, zero_tile])
 
-    def pad1(a, target, fill):
-        a = np.asarray(a)
+    def pad1(name, target, fill):
+        a = np.asarray(host(name)) if isinstance(name, str) else name
         if len(a) >= target:
             return a
         return np.concatenate(
             [a, np.full((target - len(a),) + a.shape[1:], fill, a.dtype)]
         )
 
-    bidx = np.asarray(half.step_bidx).copy()
+    bidx = np.asarray(host("step_bidx")).copy()
     bidx[bidx == half.nnzb] = nnzb_max  # dummy slots -> new zero-tile index
     pack = half.pack
     rem_k = half.rem_vals.shape[1] if half.rem_vals.ndim == 2 else REM_K
-    rem_rb = np.asarray(half.rem_step_rb)
+    rem_rb = np.asarray(host("rem_step_rb"))
     rb_fill = rem_rb[-1] if len(rem_rb) else 0
     # leaves stay NUMPY here: stack_bcsr np.stacks them and uploads each
     # stacked leaf ONCE (per-snapshot jnp round trips would cost a
     # device↔host transfer pair per array on tunneled platforms)
     return _BCSRHalf(
         blocks=blocks,
-        block_rows=pad1(half.block_rows, nnzb_max, 0),
-        block_cols=pad1(half.block_cols, nnzb_max, 0),
-        step_rows=pad1(half.step_rows, s_max, nb - 1),
-        step_cols=pad1(half.step_cols, s_max * pack, 0),
+        block_rows=pad1("block_rows", nnzb_max, 0),
+        block_cols=pad1("block_cols", nnzb_max, 0),
+        step_rows=pad1("step_rows", s_max, nb - 1),
+        step_cols=pad1("step_cols", s_max * pack, 0),
         step_bidx=pad1(bidx, s_max * pack, nnzb_max),
-        rem_cols=pad1(half.rem_cols, sr_max * rem_k, 0),
-        rem_vals=pad1(half.rem_vals, sr_max, 0.0),
-        rem_lrows=pad1(half.rem_lrows, sr_max, 0),
-        rem_step_rb=pad1(half.rem_step_rb, sr_max, rb_fill),
+        rem_cols=pad1("rem_cols", sr_max * rem_k, 0),
+        rem_vals=pad1("rem_vals", sr_max, 0.0),
+        rem_lrows=pad1("rem_lrows", sr_max, 0),
+        rem_step_rb=pad1(rem_rb, sr_max, rb_fill),
         num_rows=half.num_rows,
         num_cols=half.num_cols,
         nnzb=nnzb_max,
