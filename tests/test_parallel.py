@@ -303,3 +303,13 @@ def test_ici_bytes_per_step_model():
     # banded cut: the halo is a small fraction of the node shard
     assert pg_h.halo_size < pg_r.nodes_per_part / 2
     assert pg_h.ici_bytes_per_step(f) < pg_r.ici_bytes_per_step(f)
+
+
+def test_multihost_initialize_single_host():
+    """Single-host path: no distributed init, correct rank/world fields."""
+    from pytorch_geometric_temporal_tpu.parallel import multihost
+
+    info = multihost.initialize()
+    assert info["rank"] == 0
+    assert info["world_size"] == 1
+    assert info["local_devices"] == info["global_devices"] >= 1
