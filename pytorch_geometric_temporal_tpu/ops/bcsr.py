@@ -9,12 +9,13 @@ block sparsity while every FLOP still lands on the MXU.
 
 Two Pallas kernels cover the hybrid operator:
 
-- **Tile kernel**: grid over nonzero blocks (sorted by row-block) with
-  scalar-prefetched block indices; the output block stays resident in VMEM
-  across consecutive same-row steps (revisiting accumulation) and X
-  column-blocks stream in via the BlockSpec pipeline.  One leading dummy
-  step per *uncovered* row block (pointing at a shared zero tile)
-  guarantees every output block is written — no undefined memory, no
+- **Tile kernel**: grid over row-sorted steps of ``pack`` same-row tiles
+  each (scalar-prefetched block indices; packing amortizes the measured
+  ~254 ns fixed cost per Mosaic grid step).  The output block stays
+  resident in VMEM across consecutive same-row steps (revisiting
+  accumulation) and tiles/X column-blocks stream in via the BlockSpec
+  pipeline.  Dummy slots (the shared trailing zero tile) pad short rows
+  and guarantee every output block is written — no undefined memory, no
   select-mask epilogue.
 - **Remainder scatter kernel**: edges from sub-threshold blocks (the COO
   remainder) are grouped by row block into fixed-size chunks; their source
@@ -73,13 +74,15 @@ class _BCSRHalf:
     occupancy measured on a clustered 50k/2M graph with 1% random edges).
 
     Tile fields: ``blocks`` holds the ``nnzb`` real tiles plus ONE trailing
-    all-zero tile (index ``nnzb``) used by dummy steps; ``step_*`` arrays
-    drive the kernel grid — real tiles in row-sorted order interleaved
-    with one dummy step per row block no tile covers.
+    all-zero tile (index ``nnzb``) used by dummy slots; ``step_*`` arrays
+    drive the kernel grid — each step covers ``pack`` same-row slots
+    (real tiles in row-sorted order, zero-tile slots padding short rows
+    and rows no tile covers; see :func:`_build_steps`).
 
-    Remainder fields (padded per row block to a multiple of ``REM_K``):
-    ``rem_cols`` (P,) gather sources, ``rem_vals``/``rem_lrows``
-    (S_r, REM_K) per-chunk edge values / within-block row ids,
+    Remainder fields (padded per row block to a multiple of ``rem_k``,
+    default ``REM_K``): ``rem_cols`` (P,) gather sources,
+    ``rem_vals``/``rem_lrows``
+    (S_r, rem_k) per-chunk edge values / within-block row ids,
     ``rem_step_rb`` (S_r,) the row block each chunk accumulates into.
     Padding edges have val 0 (col 0, lrow 0) so they contribute nothing.
     """
