@@ -185,3 +185,64 @@ class EvolveGCNH(nn.Module):
             add_self_loops=self.add_self_loops, normalize=self.normalize,
         )
         return out, new_w
+
+
+class EvolveGCNHSeq(nn.Module):
+    """EvolveGCN-H scanned over a snapshot sequence with weight carry.
+
+    forward: (xs (T, N, F), graph) -> (T, N, F) — the H-variant analogue
+    of :class:`EvolveGCNOSeq` (each step's top-k pooled features drive
+    the weight GRU, ``evolvegcnh.py:61-76``).  ``graph`` is a static
+    :class:`Graph`, a stacked dynamic graph (``ops.stack_graphs``), or a
+    stacked prenormalized BCSR operator
+    (``ops.operators.stack_bcsr_gcn`` + ``normalize=False``).
+    """
+
+    num_of_nodes: int
+    in_channels: int
+    improved: bool = False
+    normalize: bool = True
+    add_self_loops: bool = True
+
+    @nn.compact
+    def __call__(self, xs, graph):
+        import jax
+
+        from ...ops.bcsr import BCSRMatrix
+        from ...ops.graph import Graph as G
+
+        cell = EvolveGCNH(self.num_of_nodes, self.in_channels,
+                          self.improved, self.normalize,
+                          self.add_self_loops, name="cell")
+        scan = nn.scan(
+            lambda c, carry, xt_g: _h_step(c, carry, xt_g),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        if isinstance(graph, BCSRMatrix):
+            if self.normalize:
+                raise ValueError(
+                    "EvolveGCNHSeq over a stacked BCSR operator needs "
+                    "normalize=False — the GCN normalization is baked "
+                    "into the tiles by ops.operators.stack_bcsr_gcn"
+                )
+            g0 = jax.tree_util.tree_map(lambda a: a[0], graph)
+            out0, w_carry = cell(xs[0], g0, None)
+            rest = (xs[1:],
+                    jax.tree_util.tree_map(lambda a: a[1:], graph))
+            _, outs = scan(cell, w_carry, rest)
+            return jnp.concatenate([out0[None], outs], axis=0)
+        dynamic = graph.senders.ndim == 2
+        if dynamic:
+            g0 = G(graph.senders[0], graph.receivers[0], graph.weights[0],
+                   graph.num_nodes, graph.num_edges)
+            out0, w_carry = cell(xs[0], g0, None)
+            rest = (xs[1:], _DynGraphs(graph, G))
+            _, outs = scan(cell, w_carry, rest)
+        else:
+            out0, w_carry = cell(xs[0], graph, None)
+            rest = (xs[1:], _StaticGraph(graph))
+            _, outs = scan(cell, w_carry, rest)
+        return jnp.concatenate([out0[None], outs], axis=0)
