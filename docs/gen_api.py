@@ -222,6 +222,31 @@ def generate(out_dir: Path) -> dict:
 
 if __name__ == "__main__":
     here = Path(__file__).parent
+    if "--check" in sys.argv:
+        # CI mode: regenerate into a scratch dir and diff against the
+        # committed docs/api — exits non-zero if they drifted.
+        import filecmp
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            generate(Path(tmp))
+            committed = here / "api"
+            fresh = sorted(p.name for p in Path(tmp).glob("*.md"))
+            stale = [
+                n for n in fresh
+                if not (committed / n).exists()
+                or not filecmp.cmp(committed / n, Path(tmp) / n, shallow=False)
+            ]
+            extra = sorted(
+                p.name for p in committed.glob("*.md")
+                if p.name not in fresh
+            )
+            if stale or extra:
+                print(f"docs/api out of sync: stale={stale} extra={extra}\n"
+                      "run `python docs/gen_api.py` and commit the result")
+                sys.exit(1)
+            print("docs/api in sync")
+            sys.exit(0)
     covered = generate(here / "api")
     total = sum(len(v) for v in covered.values())
     print(f"wrote docs/api: {len(covered)} pages, {total} documented symbols")

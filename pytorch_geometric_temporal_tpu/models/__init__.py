@@ -30,6 +30,7 @@ from .recurrent import (  # noqa: F401
     DCRNNSeq,
     DyGrEncoder,
     EvolveGCNH,
+    EvolveGCNHSeq,
     EvolveGCNO,
     EvolveGCNOSeq,
     GCLSTM,

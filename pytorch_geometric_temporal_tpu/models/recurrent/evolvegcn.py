@@ -214,13 +214,6 @@ class EvolveGCNHSeq(nn.Module):
         cell = EvolveGCNH(self.num_of_nodes, self.in_channels,
                           self.improved, self.normalize,
                           self.add_self_loops, name="cell")
-        scan = nn.scan(
-            lambda c, carry, xt_g: _h_step(c, carry, xt_g),
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=0,
-            out_axes=0,
-        )
         if isinstance(graph, BCSRMatrix):
             if self.normalize:
                 raise ValueError(
@@ -230,19 +223,53 @@ class EvolveGCNHSeq(nn.Module):
                 )
             g0 = jax.tree_util.tree_map(lambda a: a[0], graph)
             out0, w_carry = cell(xs[0], g0, None)
-            rest = (xs[1:],
-                    jax.tree_util.tree_map(lambda a: a[1:], graph))
-            _, outs = scan(cell, w_carry, rest)
+
+            def step_op(c, carry, xt_g):
+                xt, g = xt_g
+                out, new_w = c(xt, g, carry)
+                return new_w, out
+
+            scan = nn.scan(
+                step_op,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )
+            rest_ops = jax.tree_util.tree_map(lambda a: a[1:], graph)
+            _, outs = scan(cell, w_carry, (xs[1:], rest_ops))
             return jnp.concatenate([out0[None], outs], axis=0)
         dynamic = graph.senders.ndim == 2
+
+        def graph_at(t_arrays):
+            s, r, w = t_arrays
+            return G(s, r, w, graph.num_nodes, graph.num_edges)
+
+        g0 = graph_at((graph.senders[0], graph.receivers[0],
+                       graph.weights[0])) if dynamic else graph
+        out0, w_carry = cell(xs[0], g0, None)
+
+        def step(c, carry, xt_and_g):
+            if dynamic:
+                xt, s, r, w = xt_and_g
+                g = graph_at((s, r, w))
+            else:
+                xt = xt_and_g
+                g = graph
+            out, new_w = c(xt, g, carry)
+            return new_w, out
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
         if dynamic:
-            g0 = G(graph.senders[0], graph.receivers[0], graph.weights[0],
-                   graph.num_nodes, graph.num_edges)
-            out0, w_carry = cell(xs[0], g0, None)
-            rest = (xs[1:], _DynGraphs(graph, G))
-            _, outs = scan(cell, w_carry, rest)
+            rest = (xs[1:], graph.senders[1:], graph.receivers[1:],
+                    graph.weights[1:])
         else:
-            out0, w_carry = cell(xs[0], graph, None)
-            rest = (xs[1:], _StaticGraph(graph))
-            _, outs = scan(cell, w_carry, rest)
+            rest = xs[1:]
+        _, outs = scan(cell, w_carry, rest)
         return jnp.concatenate([out0[None], outs], axis=0)

@@ -80,6 +80,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p, i64p,
     ]
     lib.partition_edges.restype = None
+    lib.rcm_order.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p,
+    ]
+    lib.rcm_order.restype = None
     _LIB = lib
     return _LIB
 
@@ -149,6 +153,74 @@ def bcsr_fill(senders, receivers, weights, block_of_edge, block: int,
         tiles, (block_of_edge, receivers % block, senders % block), weights
     )
     return tiles
+
+
+def rcm_order(senders, receivers, num_nodes: int) -> np.ndarray:
+    """Reverse Cuthill-McKee node ordering on the symmetrized graph.
+
+    Returns ``perm`` (int32, ``perm[new_id] = old_id``); relabeling nodes
+    by it concentrates edges near the diagonal so the BCSR builder keeps
+    them in dense MXU tiles instead of the gather-rate-bound COO
+    remainder.  Fallbacks: scipy's ``reverse_cuthill_mckee`` when the
+    native library is unavailable, then a pure-numpy BFS variant.
+    """
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    e = len(senders)
+    if num_nodes <= 1 or e == 0:
+        return np.arange(num_nodes, dtype=np.int32)
+    lib = get_lib()
+    if lib is not None:
+        perm = np.zeros(num_nodes, np.int32)
+        lib.rcm_order(senders, receivers, e, num_nodes, perm)
+        return perm
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        adj = coo_matrix(
+            (np.ones(e, np.int8), (senders, receivers)),
+            shape=(num_nodes, num_nodes),
+        ).tocsr()
+        return np.asarray(
+            reverse_cuthill_mckee(adj, symmetric_mode=False), np.int32
+        )
+    except Exception:
+        pass
+    # pure-numpy CM: BFS from min-degree seeds, neighbors visited in
+    # increasing-degree order, result reversed
+    indptr = np.zeros(num_nodes + 1, np.int64)
+    both_r = np.concatenate([receivers, senders])
+    both_s = np.concatenate([senders, receivers])
+    order = np.argsort(both_r, kind="stable")
+    np.cumsum(np.bincount(both_r, minlength=num_nodes), out=indptr[1:])
+    nbrs = both_s[order]
+    degree = (indptr[1:] - indptr[:-1]).astype(np.int64)
+    visited = np.zeros(num_nodes, bool)
+    perm = np.empty(num_nodes, np.int32)
+    out = 0
+    seeds = np.argsort(degree, kind="stable")
+    seed_cursor = 0
+    while out < num_nodes:
+        while visited[seeds[seed_cursor]]:
+            seed_cursor += 1
+        seed = seeds[seed_cursor]
+        visited[seed] = True
+        head = out
+        perm[out] = seed
+        out += 1
+        while head < out:
+            u = perm[head]
+            head += 1
+            cand = nbrs[indptr[u]:indptr[u + 1]]
+            cand = cand[~visited[cand]]
+            if len(cand):
+                cand = np.unique(cand)
+                cand = cand[np.argsort(degree[cand], kind="stable")]
+                visited[cand] = True
+                perm[out:out + len(cand)] = cand
+                out += len(cand)
+    return perm[::-1].copy()
 
 
 def partition_edges(receivers, nodes_per_part: int, num_parts: int):

@@ -10,6 +10,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC graph_ops.cpp -o libpgtt_graph_ops.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -85,6 +86,69 @@ void bcsr_fill(const int32_t* senders, const int32_t* receivers,
     int32_t c = senders[e] % block;
     tiles[b * tile_sz + (int64_t)r * block + c] += weights[e];
   }
+}
+
+// Reverse Cuthill-McKee ordering on the symmetrized graph.
+//
+// Produces perm such that perm[new_id] = old_id; relabeling nodes by it
+// minimizes (heuristically) the bandwidth of the adjacency, concentrating
+// edges near the diagonal so the BCSR builder keeps them in dense MXU
+// tiles instead of spilling them to the gather-rate-bound COO remainder.
+// Classic CM: repeatedly seed at an unvisited minimum-degree node, BFS
+// appending unvisited neighbors in increasing-degree order, then reverse.
+void rcm_order(const int32_t* senders, const int32_t* receivers,
+               int64_t num_edges, int32_t num_nodes, int32_t* perm) {
+  // build symmetric CSR (each edge contributes both directions)
+  std::vector<int64_t> indptr(num_nodes + 1, 0);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    indptr[senders[e] + 1]++;
+    indptr[receivers[e] + 1]++;
+  }
+  for (int32_t n = 0; n < num_nodes; ++n) indptr[n + 1] += indptr[n];
+  std::vector<int32_t> nbr(indptr[num_nodes]);
+  std::vector<int64_t> cursor(indptr.begin(), indptr.end() - 1);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    nbr[cursor[senders[e]]++] = receivers[e];
+    nbr[cursor[receivers[e]]++] = senders[e];
+  }
+  std::vector<int32_t> degree(num_nodes);
+  for (int32_t n = 0; n < num_nodes; ++n)
+    degree[n] = (int32_t)(indptr[n + 1] - indptr[n]);
+  // min-degree seed selection without an O(N^2) rescan: nodes sorted by
+  // degree once; the seed cursor only moves forward.
+  std::vector<int32_t> by_degree(num_nodes);
+  for (int32_t n = 0; n < num_nodes; ++n) by_degree[n] = n;
+  std::stable_sort(by_degree.begin(), by_degree.end(),
+                   [&](int32_t a, int32_t b) { return degree[a] < degree[b]; });
+  std::vector<uint8_t> visited(num_nodes, 0);
+  std::vector<int32_t> scratch;
+  int64_t out = 0, seed_cursor = 0;
+  while (out < num_nodes) {
+    while (seed_cursor < num_nodes && visited[by_degree[seed_cursor]])
+      ++seed_cursor;
+    int32_t seed = by_degree[seed_cursor];
+    visited[seed] = 1;
+    int64_t head = out;
+    perm[out++] = seed;
+    while (head < out) {
+      int32_t u = perm[head++];
+      scratch.clear();
+      for (int64_t i = indptr[u]; i < indptr[u + 1]; ++i) {
+        int32_t v = nbr[i];
+        if (!visited[v]) {
+          visited[v] = 1;
+          scratch.push_back(v);
+        }
+      }
+      std::stable_sort(scratch.begin(), scratch.end(),
+                       [&](int32_t a, int32_t b) {
+                         return degree[a] < degree[b];
+                       });
+      for (int32_t v : scratch) perm[out++] = v;
+    }
+  }
+  for (int64_t i = 0; i < num_nodes / 2; ++i)
+    std::swap(perm[i], perm[num_nodes - 1 - i]);
 }
 
 // Partition edges by receiver block for node partitioning: counts per part

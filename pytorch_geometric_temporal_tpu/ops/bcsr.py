@@ -115,21 +115,30 @@ class _BCSRHalf:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["fwd", "bwd"],
+    data_fields=["fwd", "bwd", "perm", "iperm"],
     meta_fields=["num_nodes"],
 )
 @dataclasses.dataclass(frozen=True)
 class BCSRMatrix:
-    """Forward + transposed block-sparse aggregation operator."""
+    """Forward + transposed block-sparse aggregation operator.
+
+    When built with ``reorder=``, ``perm``/``iperm`` hold the node
+    relabeling (``perm[new] = old``, padded with identity up to the padded
+    row count) and :func:`bcsr_spmm` permutes inputs / un-permutes outputs
+    transparently — callers see original node ids.
+    """
 
     fwd: _BCSRHalf
     bwd: _BCSRHalf
     num_nodes: int  # original (unpadded)
+    perm: Optional[jnp.ndarray] = None   # (num_rows,) int32, perm[new]=old
+    iperm: Optional[jnp.ndarray] = None  # (num_rows,) int32, iperm[old]=new
 
     @staticmethod
     def from_graph(graph: Graph, block: int = BLOCK, dtype=None,
                    min_block_edges=32, expected_f: int = 64,
-                   pack="auto", rem_k: int = REM_K) -> "BCSRMatrix":
+                   pack="auto", rem_k: int = REM_K,
+                   reorder=None) -> "BCSRMatrix":
         """Host-side construction from a Graph (aggregation M[r,s] = w).
 
         ``dtype=jnp.bfloat16`` stores tiles in bf16 — halves HBM traffic for
@@ -153,6 +162,19 @@ class BCSRMatrix:
         ``rem_k``: remainder edges per scatter-kernel chunk; larger
         chunks amortize the same per-step cost against per-row-block
         padding waste (averaging ``rem_k/2`` edges).
+
+        ``reorder``: host-side bandwidth-reduction node relabeling before
+        tiling.  ``'rcm'`` applies reverse Cuthill-McKee (native C++ with
+        scipy/numpy fallbacks); ``'auto'`` measures the cost model on
+        both orderings — including the per-call input/output gather the
+        relabeling adds — and keeps the cheaper; ``None`` (default)
+        preserves caller ordering.  Attacks the remainder when the
+        caller's node ids scatter a structurally-banded graph across
+        blocks (arbitrary sensor ids over a road network); a graph whose
+        spilled edges are *structurally* long-range gains nothing, which
+        is what ``'auto'`` detects.  Replaces nothing in the reference —
+        its per-edge scatter (``nn/recurrent/dcrnn.py:86-106``) is
+        ordering-indifferent.
         """
         e = graph.num_edges
         s_all, r_all, w_all = graph.host_edges()
@@ -160,6 +182,29 @@ class BCSRMatrix:
         r = np.asarray(r_all)[:e]
         w = np.asarray(w_all)[:e].copy()
         n = graph.num_nodes
+        perm = iperm = None
+        if reorder not in (None, "rcm", "auto"):
+            raise ValueError(f"reorder must be None|'rcm'|'auto', "
+                             f"got {reorder!r}")
+        if reorder is not None and n > block and e > 0:
+            from ..native import rcm_order
+
+            p = rcm_order(s, r, n)
+            ip = np.empty_like(p)
+            ip[p] = np.arange(n, dtype=np.int32)
+            s_new, r_new = ip[s], ip[r]
+            keep = reorder == "rcm" or _reorder_pays_off(
+                r, s, r_new, s_new, n, block, dtype, expected_f
+            )
+            if keep:
+                s, r = s_new, r_new
+                n_pad = _round_up(n, block)
+                perm = np.concatenate(
+                    [p, np.arange(n, n_pad, dtype=np.int32)]
+                )
+                iperm = np.concatenate(
+                    [ip, np.arange(n, n_pad, dtype=np.int32)]
+                )
         if min_block_edges == "auto":
             min_block_edges = tune_min_block_edges(
                 r, s, n, block, dtype, expected_f
@@ -170,6 +215,8 @@ class BCSRMatrix:
             bwd=_build_half(s, r, w, n, block, dtype, min_block_edges, pack,
                             rem_k),
             num_nodes=n,
+            perm=None if perm is None else jnp.asarray(perm),
+            iperm=None if iperm is None else jnp.asarray(iperm),
         )
 
     @property
@@ -194,7 +241,8 @@ def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
                          expected_f: int = 64,
                          tile_ns: float = C_TILE_NS,
                          edge_ns: float = C_EDGE_NS,
-                         max_tile_bytes: int = 1 << 30) -> int:
+                         max_tile_bytes: int = 1 << 30,
+                         _return_cost: bool = False):
     """Pick the tile/COO spill threshold from the measured occupancy histogram.
 
     Cost model (device TIME, measured constants above): a kept tile costs
@@ -218,7 +266,7 @@ def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
                                                       n_pad // block)
     e = len(rows)
     if nnzb == 0 or e == 0:
-        return 0
+        return (0, 0.0) if _return_cost else 0
     cnt = np.bincount(block_of_edge, minlength=nnzb)
     s_tile = 2 if dtype == jnp.bfloat16 else 4
     # scale the tile's DMA share for wider-than-fitted X tiles (the fit
@@ -243,7 +291,22 @@ def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
         cost = kept_tiles * t_tile + (e - kept_edges) * edge_ns
         if cost < best_cost:
             best_cost, best_theta = cost, int(theta)
+    if _return_cost:
+        return best_theta, best_cost
     return best_theta
+
+
+def _reorder_pays_off(r0, s0, r1, s1, n, block, dtype, expected_f) -> bool:
+    """Cost-model decision for ``reorder='auto'``: does the relabeled
+    ordering beat the caller's, once the permutation's own per-call price
+    (an input gather and an output un-gather, both rate-bound at the same
+    ~2 ns/row as the remainder gather) is charged against it?"""
+    _, cost0 = tune_min_block_edges(r0, s0, n, block, dtype, expected_f,
+                                    _return_cost=True)
+    _, cost1 = tune_min_block_edges(r1, s1, n, block, dtype, expected_f,
+                                    _return_cost=True)
+    gather_ns = 2.0 * _round_up(n, block) * 2
+    return cost1 + gather_ns < cost0
 
 
 def bcsr_structure_counts(cols, rows, block, grid_cols):
@@ -692,7 +755,11 @@ def bcsr_spmm(mat: BCSRMatrix, x: jnp.ndarray,
     def one(x2d):
         if pad:
             x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+        if mat.perm is not None:
+            x2d = x2d[mat.perm]
         out = _bcsr_spmm_padded(mat, x2d, use_pallas)
+        if mat.iperm is not None:
+            out = out[mat.iperm]
         return out[:n, :f]
 
     if x.ndim == 2:
@@ -798,8 +865,6 @@ def stack_bcsr(mats) -> BCSRMatrix:
     if not mats:
         raise ValueError("stack_bcsr needs at least one operator")
     n0, pk_f, pk_b = mats[0].num_nodes, mats[0].fwd.pack, mats[0].bwd.pack
-    rk0 = mats[0].fwd.rem_vals.shape[-1] if mats[0].fwd.rem_vals.ndim == 2 \
-        else REM_K
     dt0 = mats[0].fwd.blocks.dtype
     for m in mats:
         if m.num_nodes != n0:
@@ -809,12 +874,18 @@ def stack_bcsr(mats) -> BCSRMatrix:
                 "stack_bcsr: operators must share pack (pass an explicit "
                 "pack= to BCSRMatrix.from_graph)"
             )
-        rk = m.fwd.rem_vals.shape[-1] if m.fwd.rem_vals.ndim == 2 else REM_K
-        if m.fwd.num_rem and mats[0].fwd.num_rem and rk != rk0:
-            raise ValueError(
-                "stack_bcsr: operators must share rem_k (pass an explicit "
-                "rem_k= to BCSRMatrix.from_graph)"
-            )
+        # rem_vals.shape[-1] is well-defined even with zero chunks, so
+        # check unconditionally (a guard on num_rem would let a bwd-only
+        # or zero-chunk mismatch surface later as an opaque np.stack
+        # shape error inside tree_map).
+        for side in ("fwd", "bwd"):
+            rk = getattr(m, side).rem_vals.shape[-1]
+            rk_ref = getattr(mats[0], side).rem_vals.shape[-1]
+            if rk != rk_ref:
+                raise ValueError(
+                    "stack_bcsr: operators must share rem_k (pass an "
+                    "explicit rem_k= to BCSRMatrix.from_graph)"
+                )
         if m.fwd.blocks.dtype != dt0:
             raise ValueError(
                 "stack_bcsr: operators must share tile dtype (mixing "
@@ -822,6 +893,12 @@ def stack_bcsr(mats) -> BCSRMatrix:
                 "bf16 kernel path) — pass the same dtype= to every "
                 "BCSRMatrix.from_graph"
             )
+    with_perm = [m.perm is not None for m in mats]
+    if any(with_perm) and not all(with_perm):
+        raise ValueError(
+            "stack_bcsr: operators mix reordered and plain layouts — "
+            "build every snapshot with the same reorder= setting"
+        )
     halves = []
     for side in ("fwd", "bwd"):
         hs = [getattr(m, side) for m in mats]
@@ -834,7 +911,12 @@ def stack_bcsr(mats) -> BCSRMatrix:
         halves.append(jax.tree_util.tree_map(
             lambda *leaves: jnp.asarray(np.stack(leaves)), *padded
         ))
-    return BCSRMatrix(fwd=halves[0], bwd=halves[1], num_nodes=n0)
+    perm = iperm = None
+    if all(with_perm):
+        perm = jnp.stack([m.perm for m in mats])
+        iperm = jnp.stack([m.iperm for m in mats])
+    return BCSRMatrix(fwd=halves[0], bwd=halves[1], num_nodes=n0,
+                      perm=perm, iperm=iperm)
 
 
 def hybrid_hbm_bytes(half: _BCSRHalf, f: int) -> dict:
@@ -867,11 +949,21 @@ def hybrid_hbm_bytes(half: _BCSRHalf, f: int) -> dict:
     """
     s_tile = 2 if half.blocks.dtype == jnp.bfloat16 else 4
     s_x = s_tile
-    f_eff = f if f <= 128 else _round_up(f, 128)
+    # Mirror _f_layout: features wider than the 512-lane f_tile run the
+    # grid (f_tiles, S) and each (128,128) tile is re-fetched once per
+    # feature tile — the tile-fetch term scales with f_tiles.
+    if f <= 128:
+        f_eff, f_tiles = f, 1
+    else:
+        f_eff = _round_up(f, 128)
+        ft = min(512, f_eff)
+        if f_eff % ft:
+            f_eff = _round_up(f_eff, ft)
+        f_tiles = f_eff // ft
     slots = int(half.step_bidx.size)  # steps × pack tile/X fetch pairs
     nb_runs = int(np.unique(np.asarray(half.step_rows)).shape[0])
     tile = (
-        slots * BLOCK * BLOCK * s_tile          # tile fetches (incl. dummy)
+        slots * BLOCK * BLOCK * s_tile * f_tiles  # tile fetches (per f tile)
         + slots * BLOCK * f_eff * s_x           # X column blocks
         + nb_runs * BLOCK * f_eff * 4           # f32 output write-backs
     )

@@ -146,6 +146,13 @@ class StreamingWindower:
         mm = self._map()
         h2 = 2 * self.horizon
         idx = np.asarray(start_indices)
+        if idx.size and int(idx.max()) + h2 > self.shape[0]:
+            bad = int(idx[int(np.argmax(idx))])
+            raise ValueError(
+                f"window start {bad} + 2*horizon ({h2}) overruns the "
+                f"series (length {self.shape[0]}); valid starts are "
+                f"[0, {self.shape[0] - h2}]"
+            )
         shape = (len(idx), h2) + self.shape[1:]
         if self._buf is None or self._buf.shape != shape:
             self._buf = np.empty(shape, self.dtype)
@@ -173,6 +180,9 @@ def load_time_shard(data, indices, horizon: int, lazy: bool = True):
     into it.  Replaces the reference's per-worker Dask chunk reads.
     """
     indices = np.asarray(indices)
+    if indices.size == 0:
+        raise ValueError("load_time_shard needs at least one index "
+                         "(this rank's index slice is empty)")
     series = _open_series(data, lazy=True)
     lo = int(indices.min())
     hi = min(int(indices.max()) + 2 * horizon, series.shape[0])
@@ -205,7 +215,12 @@ class IndexLoader:
         self._epoch = 0
 
     def __len__(self):
-        n = len(self.indices) // self.world_size if self.world_size > 1 else len(self.indices)
+        # Must agree with iteration: the iterator shards
+        # ``indices[rank::world_size]``, whose length is rank-dependent
+        # when ``len(indices) % world_size != 0``.
+        n = len(self.indices)
+        if self.world_size > 1:
+            n = len(range(self.rank, n, self.world_size))
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)

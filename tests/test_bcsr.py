@@ -223,3 +223,108 @@ def test_bcsr_all_spill(rng):
 
     g_ref = jax.grad(lambda x_: (spmm_segment(g, x_) ** 2).sum())(x)
     np.testing.assert_allclose(jax.grad(f)(x), g_ref, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# reorder= (RCM bandwidth reduction)
+# ---------------------------------------------------------------------------
+
+
+def _scrambled_banded(rng, n=900, e=8000, width=12):
+    """Banded graph whose node ids are randomly scrambled — the case
+    reordering exists for (arbitrary sensor ids over a local network)."""
+    s = rng.integers(0, n, size=e)
+    r = np.clip(s + rng.integers(-width, width + 1, size=e), 0, n - 1)
+    scram = rng.permutation(n)
+    ei = np.unique(np.stack([scram[s], scram[r]]), axis=1)
+    w = rng.uniform(0.5, 2.0, size=ei.shape[1]).astype(np.float32)
+    return Graph.from_edge_index(ei, w, num_nodes=n)
+
+
+def test_reorder_rcm_matches_segment(rng):
+    g = _scrambled_banded(rng)
+    mat = BCSRMatrix.from_graph(g, reorder="rcm", min_block_edges=8)
+    assert mat.perm is not None and mat.iperm is not None
+    # the permutation round-trips
+    np.testing.assert_array_equal(
+        np.asarray(mat.perm)[np.asarray(mat.iperm)],
+        np.arange(mat.fwd.num_rows),
+    )
+    x = jnp.asarray(rng.normal(size=(g.num_nodes, 9)).astype(np.float32))
+    want = spmm_segment(g, x)
+    got = bcsr_spmm(mat, x, use_pallas=False)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_reorder_rcm_reduces_remainder(rng):
+    # large enough that scrambled ids actually spray the band across many
+    # blocks (a 900-node graph only has an 8x8 tile grid — every tile
+    # stays dense no matter the ordering)
+    g = _scrambled_banded(rng, n=5000, e=40000, width=15)
+    plain = BCSRMatrix.from_graph(g, min_block_edges="auto")
+    rcm = BCSRMatrix.from_graph(g, reorder="rcm", min_block_edges="auto")
+    # scrambled ids spray the band across blocks; RCM recovers it
+    assert rcm.fwd.num_rem < plain.fwd.num_rem / 2
+
+
+def test_reorder_gradient(rng):
+    g = _scrambled_banded(rng, n=400, e=3000)
+    mat = BCSRMatrix.from_graph(g, reorder="rcm", min_block_edges=8)
+    x = jnp.asarray(rng.normal(size=(g.num_nodes, 5)).astype(np.float32))
+
+    def f(x_):
+        return (bcsr_spmm(mat, x_, use_pallas=False) ** 2).sum()
+
+    def f_ref(x_):
+        return (spmm_segment(g, x_) ** 2).sum()
+
+    np.testing.assert_allclose(jax.grad(f)(x), jax.grad(f_ref)(x),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_reorder_auto_declines_when_ordering_is_already_good(rng):
+    # an already-banded graph: relabeling cannot beat identity once the
+    # per-call gather price is charged
+    n, e = 900, 8000
+    s = rng.integers(0, n, size=e)
+    r = np.clip(s + rng.integers(-12, 13, size=e), 0, n - 1)
+    ei = np.unique(np.stack([s, r]), axis=1)
+    g = Graph.from_edge_index(ei, num_nodes=n)
+    mat = BCSRMatrix.from_graph(g, reorder="auto", min_block_edges="auto")
+    assert mat.perm is None
+
+
+def test_reorder_auto_accepts_scrambled(rng):
+    g = _scrambled_banded(rng)
+    mat = BCSRMatrix.from_graph(g, reorder="auto", min_block_edges="auto")
+    assert mat.perm is not None
+
+
+def test_reorder_validation(rng):
+    g = _scrambled_banded(rng, n=300, e=1500)
+    with pytest.raises(ValueError, match="reorder"):
+        BCSRMatrix.from_graph(g, reorder="bogus")
+
+
+def test_stack_bcsr_rejects_mixed_reorder(rng):
+    from pytorch_geometric_temporal_tpu.ops import stack_bcsr
+
+    g = _scrambled_banded(rng, n=300, e=1500)
+    plain = BCSRMatrix.from_graph(g, pack=2)
+    rcm = BCSRMatrix.from_graph(g, reorder="rcm", pack=2)
+    with pytest.raises(ValueError, match="reorder"):
+        stack_bcsr([plain, rcm])
+
+
+def test_stack_bcsr_with_reorder_matches(rng):
+    from pytorch_geometric_temporal_tpu.ops import stack_bcsr
+
+    graphs = [_scrambled_banded(rng, n=300, e=1500) for _ in range(3)]
+    mats = [BCSRMatrix.from_graph(g, reorder="rcm", pack=2,
+                                  min_block_edges=8) for g in graphs]
+    st = stack_bcsr(mats)
+    x = jnp.asarray(rng.normal(size=(300, 6)).astype(np.float32))
+    for t, g in enumerate(graphs):
+        sliced = jax.tree_util.tree_map(lambda a: a[t], st)
+        got = bcsr_spmm(sliced, x, use_pallas=False)
+        np.testing.assert_allclose(got, spmm_segment(g, x), atol=1e-4)

@@ -1,0 +1,176 @@
+"""Compiler-confirmed ICI volume accounting.
+
+``PartitionedGraph.ici_bytes_per_step`` predicts per-device ICI egress from
+partition cuts; ``docs/performance.md``'s scaling table is built on it.
+These tests close the loop WITHOUT hardware: compile the partitioned
+aggregations (and a full partitioned-DCRNN train step) on the 8-virtual-
+device CPU mesh, parse the collectives out of the optimized HLO, and assert
+the bytes XLA actually moves match the analytic table.
+
+Ring-egress accounting per collective (P = mesh size along the graph axis):
+
+- ``all-gather``    result (N_pad, F): each device ships its (npp, F) shard
+  P−1 hops → (P−1)/P × result bytes.
+- ``reduce-scatter`` result (npp, F): one shard-sized partial moves per hop
+  → (P−1) × result bytes.
+- ``all-to-all``    operand (P, H, F) (or a P-tuple of (1, H, F), XLA's
+  tuple form): P−1 of the P blocks leave the device → (P−1)/P × total
+  operand bytes.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pytorch_geometric_temporal_tpu.ops import Graph
+from pytorch_geometric_temporal_tpu.parallel import make_mesh
+from pytorch_geometric_temporal_tpu.parallel.partition import (
+    PartitionedGraph,
+    spmm_partitioned,
+)
+
+P, N, E, F = 4, 400, 3000, 8
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "f64": 8, "s32": 4, "u32": 4}
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """Total bytes of one HLO shape string (array or tuple)."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        count = 1
+        for d in dims.split(","):
+            if d:
+                count *= int(d)
+        total += count * _DTYPE_BYTES[dt]
+    return total
+
+
+def collective_egress_bytes(hlo_text: str, p: int) -> dict:
+    """Per-device ring-egress bytes per collective kind in compiled HLO."""
+    out = {"all-gather": 0, "reduce-scatter": 0, "all-to-all": 0}
+    # result shape is everything between "= " and " <op>("
+    pat = re.compile(
+        r"= (.+?) (all-gather|reduce-scatter|all-to-all)\(", re.M
+    )
+    for shape_str, op in pat.findall(hlo_text):
+        b = _shape_bytes(shape_str)
+        if op == "all-gather":
+            out[op] += b * (p - 1) // p
+        elif op == "reduce-scatter":
+            out[op] += b * (p - 1)
+        else:  # all-to-all: result bytes == operand bytes
+            out[op] += b * (p - 1) // p
+    return out
+
+
+@pytest.fixture(scope="module")
+def graph():
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, N, E)
+    r = np.clip(s + rng.integers(-25, 26, E), 0, N - 1)
+    w = rng.uniform(0.5, 1.5, E).astype(np.float32)
+    return Graph.from_edge_index(np.stack([s, r]), w, num_nodes=N)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh({"graph": P})
+
+
+@pytest.mark.parametrize("by,exchange,kind", [
+    ("receiver", "gather", "all-gather"),
+    ("sender", "scatter", "reduce-scatter"),
+    ("halo", "halo", "all-to-all"),
+])
+def test_forward_collective_bytes_match_table(graph, mesh, by, exchange,
+                                              kind):
+    pg = PartitionedGraph.from_graph(graph, P, by=by)
+    rng = np.random.default_rng(1)
+    x = pg.shard_features(
+        jnp.asarray(rng.normal(size=(N, F)).astype(np.float32)), mesh
+    )
+    fn = jax.jit(lambda xx: spmm_partitioned(pg, xx, mesh, exchange=exchange))
+    txt = fn.lower(x).compile().as_text()
+    got = collective_egress_bytes(txt, P)
+    predicted = pg.ici_bytes_per_step(F)
+    assert got[kind] == predicted, (got, predicted)
+    # no other collective kinds sneak in
+    assert sum(got.values()) == predicted
+
+
+def test_forward_backward_doubles_the_volume(graph, mesh):
+    """The docstring claim 'backward doubles each' — gather's transpose is
+    reduce-scatter; total compiled volume is exactly 2x the table entry."""
+    pg = PartitionedGraph.from_graph(graph, P, by="receiver")
+    rng = np.random.default_rng(2)
+    x = pg.shard_features(
+        jnp.asarray(rng.normal(size=(N, F)).astype(np.float32)), mesh
+    )
+
+    fn = jax.jit(
+        jax.grad(lambda xx: (spmm_partitioned(pg, xx, mesh) ** 2).sum())
+    )
+    got = collective_egress_bytes(fn.lower(x).compile().as_text(), P)
+    assert got["all-gather"] + got["reduce-scatter"] == \
+        2 * pg.ici_bytes_per_step(F)
+
+
+def test_partitioned_dcrnn_step_volume_matches_table(graph, mesh):
+    """Full DCRNN cell train step (fwd+bwd+Adam): every byte the compiled
+    step moves over the graph axis is accounted for by the analytic table.
+
+    Per cell step: 2 diffusion-basis builds on (F+C)-wide features x B
+    batch, each K=2 -> one halo aggregation per direction; backward
+    mirrors each all_to_all with an identically-shaped transpose.
+    """
+    from pytorch_geometric_temporal_tpu.parallel.partitioned_dcrnn import (
+        DCRNNPartitioned,
+        PartitionedDiffusionOperators,
+    )
+
+    B, C, K = 2, 4, 2
+    pops = PartitionedDiffusionOperators.from_graph(graph, P)
+    rng = np.random.default_rng(3)
+    n_pad = pops.padded_nodes
+    x = pops.shard_features(
+        jnp.asarray(rng.normal(size=(N, B, F)).astype(np.float32)), mesh
+    )
+    y = pops.shard_features(
+        jnp.asarray(rng.normal(size=(N, B, C)).astype(np.float32)), mesh
+    )
+    cell = DCRNNPartitioned(out_channels=C, K=K)
+    params = cell.init(jax.random.PRNGKey(0), x, pops, mesh)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def loss(p, xb, yb):
+        return jnp.mean((cell.apply(p, xb, pops, mesh) - yb) ** 2)
+
+    @jax.jit
+    def step(p, st, xb, yb):
+        # differentiate wrt x as well AND return that grad: in the Seq
+        # model the hidden-state carry keeps every basis's backward
+        # collective live; on a single cell step with only param grads
+        # consumed, XLA DCEs the gate basis's backward all_to_alls
+        # (verified: volume drops to exactly 6/8 of the table)
+        _, (grads, gx) = jax.value_and_grad(loss, argnums=(0, 1))(p, xb, yb)
+        updates, st = opt.update(grads, st, p)
+        return optax.apply_updates(p, updates), st, gx
+
+    txt = step.lower(params, opt_state, x, y).compile().as_text()
+    got = collective_egress_bytes(txt, P)
+
+    f_wide = B * (F + C)  # basis features: concat([x, h]) flattened with B
+    per_basis = (pops.p_fwd.ici_bytes_per_step(f_wide)
+                 + pops.p_bwd.ici_bytes_per_step(f_wide))
+    predicted = 2 * per_basis * 2  # 2 basis builds x (forward + backward)
+    assert got["all-to-all"] == predicted, (got, predicted)
+    assert got["all-gather"] == 0 and got["reduce-scatter"] == 0

@@ -126,3 +126,32 @@ def test_load_time_shard(series_path):
     )
     in_ram, _ = load_time_shard(series_path, indices[:4], H, lazy=False)
     assert isinstance(in_ram, np.ndarray) and not isinstance(in_ram, np.memmap)
+
+
+def test_streaming_rejects_overrun_start(series_path):
+    windower = StreamingWindower(series_path, H)
+    with pytest.raises(ValueError, match="overruns"):
+        windower.host_batch(np.array([0, T - H]))  # needs 2H headroom
+
+
+def test_load_time_shard_rejects_empty(series_path):
+    with pytest.raises(ValueError, match="at least one index"):
+        load_time_shard(series_path, np.array([], dtype=np.int64), H)
+
+
+def test_index_loader_len_matches_iteration_under_sharding():
+    """len(loader) must equal the yielded batch count for EVERY rank,
+    including world sizes that do not divide the index count."""
+    data = np.arange(101 * 3, dtype=np.float32).reshape(101, 3)
+    windower = DeviceWindower(data, H)
+    indices = np.arange(101 - 2 * H + 1)  # 78 starts
+    for world_size in (1, 2, 3, 4, 5):
+        for rank in range(world_size):
+            for drop_last in (False, True):
+                loader = IndexLoader(
+                    indices, windower, batch_size=8, drop_last=drop_last,
+                    world_size=world_size, rank=rank,
+                )
+                assert len(loader) == sum(1 for _ in loader), (
+                    world_size, rank, drop_last,
+                )

@@ -297,3 +297,38 @@ def test_evolvegcno_seq_dynamic(rng):
     params = seq.init(key, xs, gstack)
     outs = seq.apply(params, xs, gstack)
     assert outs.shape == (T, N, F)
+
+
+def test_evolvegcnh_seq(graph, rng):
+    from pytorch_geometric_temporal_tpu.models import EvolveGCNH, EvolveGCNHSeq
+
+    T = 5
+    xs = jnp.asarray(rng.uniform(size=(T, N, F)).astype(np.float32))
+    seq = EvolveGCNHSeq(num_of_nodes=N, in_channels=F)
+    params = seq.init(key, xs, graph)
+    outs = seq.apply(params, xs, graph)
+    assert outs.shape == (T, N, F)
+    # equivalence with manual weight threading through the cell
+    cell = EvolveGCNH(num_of_nodes=N, in_channels=F)
+    cp = {"params": params["params"]["cell"]}
+    w = None
+    for t in range(T):
+        out, w = cell.apply(cp, xs[t], graph, w)
+        np.testing.assert_allclose(outs[t], out, atol=1e-5)
+
+
+def test_evolvegcnh_seq_dynamic(rng):
+    from pytorch_geometric_temporal_tpu.models import EvolveGCNHSeq
+    from pytorch_geometric_temporal_tpu.ops import stack_graphs
+
+    T = 4
+    graphs = []
+    for _ in range(T):
+        ei = np.unique(rng.integers(0, N, size=(2, rng.integers(30, 60))), axis=1)
+        graphs.append(Graph.from_edge_index(ei, num_nodes=N))
+    gstack = stack_graphs(graphs)
+    xs = jnp.asarray(rng.uniform(size=(T, N, F)).astype(np.float32))
+    seq = EvolveGCNHSeq(num_of_nodes=N, in_channels=F)
+    params = seq.init(key, xs, gstack)
+    outs = seq.apply(params, xs, gstack)
+    assert outs.shape == (T, N, F)

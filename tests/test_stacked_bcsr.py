@@ -184,3 +184,32 @@ def test_evolvegcno_seq_over_stacked_operator():
 
     with pytest.raises(ValueError, match="normalize=False"):
         EvolveGCNOSeq(in_channels=f).apply(params, xs, ops)
+
+
+def test_evolvegcnh_seq_over_stacked_operator():
+    """EvolveGCNHSeq runs the tiled operator path for dynamic sequences.
+
+    H-variant analogue of the O-variant test above: the stacked
+    prenormalized operator must reproduce the stacked-dynamic-Graph
+    (segment path) sequence output bit-for-tolerance.
+    """
+    from pytorch_geometric_temporal_tpu.models import EvolveGCNHSeq
+    from pytorch_geometric_temporal_tpu.ops import stack_bcsr_gcn, stack_graphs
+
+    n, t, f = 200, 4, 8
+    graphs = make_graphs(seed=11, n=n, t=t)
+    rng = np.random.default_rng(12)
+    xs = jnp.asarray(rng.normal(size=(t, n, f)).astype(np.float32))
+
+    ref_model = EvolveGCNHSeq(num_of_nodes=n, in_channels=f)
+    params = ref_model.init(jax.random.PRNGKey(0), xs, stack_graphs(graphs))
+    want = ref_model.apply(params, xs, stack_graphs(graphs))
+
+    ops = stack_bcsr_gcn(graphs, min_block_edges=16, pack=2)
+    op_model = EvolveGCNHSeq(num_of_nodes=n, in_channels=f, normalize=False)
+    got = op_model.apply(params, xs, ops)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+    with pytest.raises(ValueError, match="normalize=False"):
+        EvolveGCNHSeq(num_of_nodes=n, in_channels=f).apply(params, xs, ops)
