@@ -428,7 +428,7 @@ def bench_model_train_large_n(n=50_000, deg=40, f=32, hidden=64, t=4,
     return bcsr_eps, seg_eps
 
 
-def bench_dynamic_edges(n=10_000, deg=30, t=3, f=64, band=64):
+def bench_dynamic_edges(n=20_000, deg=30, t=4, f=64, band=64):
     """Stacked dynamic-edge sequence through the tiled kernel in a scan.
 
     The capability the segment path used to own exclusively (per-step
@@ -436,6 +436,12 @@ def bench_dynamic_edges(n=10_000, deg=30, t=3, f=64, band=64):
     are host-built, stacked (``ops.stack_bcsr``), and scanned — one
     compiled kernel serves every step.  Returns edges/s over the whole
     T-step scan (dispatch-corrected).
+
+    Config history: rounds 3-4 pinned n=10k/T=3 because the N=20k/T=4
+    compile took ~6 min; the bisect (``benchmarks/compile_bisect.py``)
+    showed that was the operator baked into the HLO as constants (123 MB
+    payload on the remote compile path), not a kernel-scaling problem —
+    as a jit operand it compiles in <1 s, so the config is raised.
     """
     import jax
     import jax.numpy as jnp

@@ -32,6 +32,13 @@ class Config:
     dense_threshold: int = 4096
     # 'auto' | 'dense' | 'segment' | 'pallas'
     spmm_backend: str = "auto"
+    # Node reordering for auto-built BCSR operators: 'auto' runs the
+    # shortcut-filtered RCM pass and keeps it only when the kernel cost
+    # model says it wins (ops/bcsr.py: _reorder_pays_off); 'off' preserves
+    # caller ordering.  One-time host cost ~1-3 s at 2M edges, cached per
+    # Graph; measured 27x kernel speedup when caller node ids scramble a
+    # structurally-local graph (benchmarks/reorder_sweep.py).
+    spmm_reorder: str = "auto"
     # matmul accumulation dtype
     use_bfloat16_matmul: bool = False
 

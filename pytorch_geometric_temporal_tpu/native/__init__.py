@@ -84,6 +84,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p,
     ]
     lib.rcm_order.restype = None
+    lib.edge_triangle_support.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p,
+    ]
+    lib.edge_triangle_support.restype = None
     _LIB = lib
     return _LIB
 
@@ -221,6 +225,62 @@ def rcm_order(senders, receivers, num_nodes: int) -> np.ndarray:
                 perm[out:out + len(cand)] = cand
                 out += len(cand)
     return perm[::-1].copy()
+
+
+def edge_triangle_support(senders, receivers, num_nodes: int) -> np.ndarray:
+    """Per-edge common-neighbor count |N(s) ∩ N(r)| (symmetrized graph).
+
+    Structural shortcut detector for the reordering pipeline: band and
+    community edges share many neighbors; random cross edges share ~none.
+    Fallbacks: scipy sparse ``A @ A`` lookup, then all-ones (filter
+    disabled) without scipy.
+    """
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    e = len(senders)
+    if e == 0:
+        return np.zeros(0, np.int32)
+    lib = get_lib()
+    if lib is not None:
+        support = np.zeros(e, np.int32)
+        lib.edge_triangle_support(senders, receivers, e, num_nodes, support)
+        return support
+    try:
+        from scipy.sparse import coo_matrix
+
+        both_s = np.concatenate([senders, receivers])
+        both_r = np.concatenate([receivers, senders])
+        adj = coo_matrix(
+            (np.ones(2 * e, np.float32), (both_s, both_r)),
+            shape=(num_nodes, num_nodes),
+        ).tocsr()
+        adj.data[:] = 1.0
+        a2 = adj @ adj
+        return np.asarray(a2[senders, receivers]).ravel().astype(np.int32)
+    except Exception:
+        return np.ones(e, np.int32)  # filter becomes a no-op
+
+
+def bandwidth_reduction_order(senders, receivers, num_nodes: int,
+                              min_support: int = 2) -> np.ndarray:
+    """Shortcut-robust RCM: filter low-triangle-support edges, then order.
+
+    Plain RCM collapses when a few random long-range edges let the BFS
+    tunnel across the graph (measured on scrambled banded + 5% cross:
+    spilled edges only halve).  Dropping edges with fewer than
+    ``min_support`` common neighbors from the ORDERING graph (they stay in
+    the operator — they were headed for the COO remainder regardless)
+    recovers most of the oracle ordering (140k -> 63k spilled at n=20k,
+    oracle 39k).  Falls back to unfiltered RCM when the filter would
+    remove most edges (support signals need clustering to exist).
+    """
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    support = edge_triangle_support(senders, receivers, num_nodes)
+    keep = support >= min_support
+    if keep.mean() < 0.5:  # unclustered graph: the signal is meaningless
+        return rcm_order(senders, receivers, num_nodes)
+    return rcm_order(senders[keep], receivers[keep], num_nodes)
 
 
 def partition_edges(receivers, nodes_per_part: int, num_parts: int):

@@ -151,6 +151,50 @@ void rcm_order(const int32_t* senders, const int32_t* receivers,
     std::swap(perm[i], perm[num_nodes - 1 - i]);
 }
 
+// Per-edge triangle support |N(s) ∩ N(r)| on the symmetrized graph.
+//
+// Cheap structural signal separating locally-clustered edges (high
+// support: band/community edges share neighbors) from random shortcuts
+// (support ~0).  The reordering pipeline drops low-support edges BEFORE
+// running RCM so BFS cannot tunnel through shortcuts and destroy the
+// recoverable band (measured: 2.2x fewer spilled edges on scrambled
+// banded + 5% random cross).
+void edge_triangle_support(const int32_t* senders, const int32_t* receivers,
+                           int64_t num_edges, int32_t num_nodes,
+                           int32_t* support) {
+  std::vector<int64_t> indptr(num_nodes + 1, 0);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    indptr[senders[e] + 1]++;
+    indptr[receivers[e] + 1]++;
+  }
+  for (int32_t n = 0; n < num_nodes; ++n) indptr[n + 1] += indptr[n];
+  std::vector<int32_t> nbr(indptr[num_nodes]);
+  std::vector<int64_t> cursor(indptr.begin(), indptr.end() - 1);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    nbr[cursor[senders[e]]++] = receivers[e];
+    nbr[cursor[receivers[e]]++] = senders[e];
+  }
+  // sort + dedup each neighbor list in place; keep per-node end offsets
+  std::vector<int64_t> endp(num_nodes);
+  for (int32_t n = 0; n < num_nodes; ++n) {
+    auto b = nbr.begin() + indptr[n], e2 = nbr.begin() + indptr[n + 1];
+    std::sort(b, e2);
+    endp[n] = indptr[n] + (std::unique(b, e2) - b);
+  }
+  for (int64_t e = 0; e < num_edges; ++e) {
+    int32_t u = senders[e], v = receivers[e];
+    int64_t i = indptr[u], j = indptr[v];
+    int32_t c = 0;
+    while (i < endp[u] && j < endp[v]) {
+      int32_t a = nbr[i], b = nbr[j];
+      if (a == b) { ++c; ++i; ++j; }
+      else if (a < b) ++i;
+      else ++j;
+    }
+    support[e] = c;
+  }
+}
+
 // Partition edges by receiver block for node partitioning: counts per part
 // and a grouped edge order.
 void partition_edges(const int32_t* receivers, int64_t num_edges,

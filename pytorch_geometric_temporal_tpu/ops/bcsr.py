@@ -36,6 +36,7 @@ not trained in this model family).
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from functools import partial
 from typing import Optional
 
@@ -187,9 +188,9 @@ class BCSRMatrix:
             raise ValueError(f"reorder must be None|'rcm'|'auto', "
                              f"got {reorder!r}")
         if reorder is not None and n > block and e > 0:
-            from ..native import rcm_order
+            from ..native import bandwidth_reduction_order
 
-            p = rcm_order(s, r, n)
+            p = bandwidth_reduction_order(s, r, n)
             ip = np.empty_like(p)
             ip[p] = np.arange(n, dtype=np.int32)
             s_new, r_new = ip[s], ip[r]
@@ -743,11 +744,46 @@ def _bwd(use_pallas, mat, g):
 _bcsr_spmm_padded.defvjp(_fwd, _bwd)
 
 
+_warned_closed_over = False
+
+
+def _warn_if_closed_over(mat: BCSRMatrix, x) -> None:
+    """One-time warning for the operator-as-HLO-constant footgun.
+
+    A concrete (non-traced) operator inside a trace gets baked into the
+    HLO as constants — at N=20k/T=4 that is ~123 MB of literals, and the
+    compile blows up from <1 s (operand style) to minutes of payload
+    upload + constant folding on remotely-compiled platforms (measured,
+    ``benchmarks/compile_bisect.py``); large payloads can reject outright
+    (HTTP 413).  Pass the operator as a jit ARGUMENT instead.
+    """
+    global _warned_closed_over
+    if _warned_closed_over:
+        return
+    if isinstance(x, jax.core.Tracer) and not isinstance(
+            mat.fwd.blocks, jax.core.Tracer):
+        nbytes = sum(
+            getattr(a, "nbytes", 0)
+            for a in jax.tree_util.tree_leaves(mat)
+        )
+        if nbytes > 16 * 1024 * 1024:
+            _warned_closed_over = True
+            warnings.warn(
+                f"bcsr_spmm: a {nbytes / 1e6:.0f} MB BCSR operator is "
+                "closed over inside jit and will be baked into the HLO "
+                "as constants — compile time and payload scale with it "
+                "(minutes on remotely-compiled platforms). Pass the "
+                "operator as a jit argument instead.",
+                stacklevel=3,
+            )
+
+
 def bcsr_spmm(mat: BCSRMatrix, x: jnp.ndarray,
               use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Aggregate (..., N, F) features through the block-sparse operator."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    _warn_if_closed_over(mat, x)
     n = mat.num_nodes
     f = x.shape[-1]
     pad = mat.fwd.num_cols - n

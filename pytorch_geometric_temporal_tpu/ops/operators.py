@@ -134,13 +134,14 @@ def host_diffusion_norms(graph: Graph):
 
 
 def _maybe_bcsr(g: Graph, bcsr: bool, block: int, dtype,
-                min_block_edges: int):
+                min_block_edges: int, reorder=None):
     if not bcsr:
         return g
     from .bcsr import BCSRMatrix
 
     return BCSRMatrix.from_graph(g, block=block, dtype=dtype,
-                                 min_block_edges=min_block_edges)
+                                 min_block_edges=min_block_edges,
+                                 reorder=reorder)
 
 
 @partial(
@@ -329,9 +330,11 @@ class DiffusionOperators:
 
     @staticmethod
     def from_graph(graph: Graph, bcsr: bool = False, block: int = 128,
-                   dtype=None, min_block_edges: int = 32):
+                   dtype=None, min_block_edges: int = 32, reorder=None):
         f, b = host_diffusion_norms(graph)
         return DiffusionOperators(
-            p_fwd=_maybe_bcsr(f, bcsr, block, dtype, min_block_edges),
-            p_bwd=_maybe_bcsr(b, bcsr, block, dtype, min_block_edges),
+            p_fwd=_maybe_bcsr(f, bcsr, block, dtype, min_block_edges,
+                              reorder),
+            p_bwd=_maybe_bcsr(b, bcsr, block, dtype, min_block_edges,
+                              reorder),
         )

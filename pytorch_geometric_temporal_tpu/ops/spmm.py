@@ -122,10 +122,12 @@ def _auto_bcsr(graph: Graph, x_dtype):
     spmm calls inside one trace — and repeated traces over the same Graph
     object — reuse one build.
     """
+    from ..config import get_config
     from .bcsr import BCSRMatrix
 
     tile_dtype = jnp.bfloat16 if x_dtype == jnp.bfloat16 else None
-    key = ("bcsr", str(tile_dtype))
+    reorder = "auto" if get_config().spmm_reorder == "auto" else None
+    key = ("bcsr", str(tile_dtype), reorder)
     cache = getattr(graph, "_op_cache", None)
     if cache is None:
         cache = {}
@@ -136,7 +138,8 @@ def _auto_bcsr(graph: Graph, x_dtype):
         # the host-built numpy tiles must stay concrete so the cached
         # operator never holds tracers.
         with jax.ensure_compile_time_eval():
-            mat = BCSRMatrix.from_graph(graph, dtype=tile_dtype)
+            mat = BCSRMatrix.from_graph(graph, dtype=tile_dtype,
+                                        reorder=reorder)
         cache[key] = mat
     return mat
 

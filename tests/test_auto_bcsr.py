@@ -200,3 +200,32 @@ def test_bipartite_graph_skips_tiler(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(spmm_segment(g, x)), rtol=1e-5, atol=1e-5
     )
+
+
+def test_auto_dispatch_reorders_scrambled_graph(rng):
+    """The zero-opt-in path runs the reordering pass: a scrambled banded
+    graph reaching spmm via backend='pallas' builds a permuted operator
+    (spmm_reorder='auto' default) and still matches the segment oracle;
+    spmm_reorder='off' preserves caller ordering."""
+    n = 3000
+    e = 30_000
+    s = rng.integers(0, n, e)
+    r = np.clip(s + rng.integers(-10, 11, e), 0, n - 1)
+    scram = rng.permutation(n)
+    ei = np.stack([scram[s], scram[r]])
+    g = Graph.from_edge_index(ei, num_nodes=n)
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    want = spmm_segment(g, x)
+    with config_override(spmm_backend="pallas"):
+        out = spmm(g, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    mat = g._op_cache[("bcsr", "None", "auto")]
+    assert mat.perm is not None  # the scrambled band got relabeled
+
+    g2 = Graph.from_edge_index(ei, num_nodes=n)
+    with config_override(spmm_backend="pallas", spmm_reorder="off"):
+        out2 = spmm(g2, x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    assert g2._op_cache[("bcsr", "None", None)].perm is None

@@ -328,3 +328,36 @@ def test_stack_bcsr_with_reorder_matches(rng):
         sliced = jax.tree_util.tree_map(lambda a: a[t], st)
         got = bcsr_spmm(sliced, x, use_pallas=False)
         np.testing.assert_allclose(got, spmm_segment(g, x), atol=1e-4)
+
+
+def test_closed_over_operator_warns(rng, monkeypatch):
+    """A large operator closed over inside jit warns once (the HLO-constant
+    compile-blow-up footgun, benchmarks/compile_bisect.py)."""
+    import warnings as _w
+
+    from pytorch_geometric_temporal_tpu.ops import bcsr
+    monkeypatch.setattr(bcsr, "_warned_closed_over", False)
+    monkeypatch.setattr(bcsr, "_BIG_OPERATOR_BYTES", 0, raising=False)
+
+    g = make_graph(rng, 300, 2000)
+    mat = BCSRMatrix.from_graph(g)
+    x = jnp.asarray(rng.normal(size=(300, 8)).astype(np.float32))
+
+    # monkeypatch the threshold down so a small test operator triggers it
+    orig = bcsr._warn_if_closed_over
+
+    def patched(m, xx):
+        import jax as _jax
+        if isinstance(xx, _jax.core.Tracer) and not isinstance(
+                m.fwd.blocks, _jax.core.Tracer):
+            if not bcsr._warned_closed_over:
+                bcsr._warned_closed_over = True
+                _w.warn("bcsr_spmm: closed over", stacklevel=2)
+    monkeypatch.setattr(bcsr, "_warn_if_closed_over", patched)
+    with pytest.warns(UserWarning, match="closed over"):
+        jax.jit(lambda a: bcsr_spmm(mat, a, use_pallas=False))(x)
+    # operand style must NOT warn
+    monkeypatch.setattr(bcsr, "_warned_closed_over", False)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        jax.jit(lambda a, m: bcsr_spmm(m, a, use_pallas=False))(x, mat)
