@@ -428,6 +428,47 @@ def bench_model_train_large_n(n=50_000, deg=40, f=32, hidden=64, t=4,
     return bcsr_eps, seg_eps
 
 
+def bench_reorder_recovery(n=20_000, deg=40, f=64, band=96, iters=200):
+    """Kernel-time recovery from the reordering pass on a scrambled graph.
+
+    Builds the banded benchmark graph under randomly permuted node ids
+    (the arbitrary-sensor-id case) and times the hybrid kernel with and
+    without ``reorder='auto'``.  Returns (plain seconds, reordered
+    seconds) per aggregation; the ratio is the driver-visible speedup
+    (full measured table: ``benchmarks/reorder_sweep.py``).
+    """
+    import jax.numpy as jnp
+
+    from pytorch_geometric_temporal_tpu.ops import (
+        BCSRMatrix, Graph, bcsr_spmm,
+    )
+    from pytorch_geometric_temporal_tpu.utils.profiling import (
+        device_time_per_iter,
+    )
+
+    rng = np.random.default_rng(2)
+    e = n * deg
+    s = rng.integers(0, n, size=e)
+    r = np.clip(s + rng.integers(-band, band + 1, size=e), 0, n - 1)
+    scram = rng.permutation(n)
+    w = rng.uniform(0.1, 1.0, e).astype(np.float32)
+    d = np.bincount(r, weights=w, minlength=n).astype(np.float32)
+    w = w / np.maximum(d[r], 1e-6)
+    g = Graph.from_edge_index(np.stack([scram[s], scram[r]]), w, num_nodes=n)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    times = []
+    for reorder in (None, "auto"):
+        mat = BCSRMatrix.from_graph(g, dtype=jnp.bfloat16,
+                                    min_block_edges="auto", expected_f=f,
+                                    reorder=reorder)
+        times.append(device_time_per_iter(
+            lambda a, m: bcsr_spmm(m, a), x,
+            iters=iters if reorder else max(iters // 4, 20),
+            operands=(mat,),
+        ))
+    return times[0], times[1]
+
+
 def bench_dynamic_edges(n=20_000, deg=30, t=4, f=64, band=64):
     """Stacked dynamic-edge sequence through the tiled kernel in a scan.
 
@@ -545,13 +586,16 @@ def main():
     }
     try:
         from benchmarks.bundled_accuracy import (
+            extra_bundled_accuracy,
             pedalme_accuracy,
             twitter_tennis_accuracy,
         )
 
-        # BASELINE configs 2 and 4 on the REAL bundled bytes (no downloads)
+        # BASELINE configs 2 and 4 on the REAL bundled bytes (no
+        # downloads), plus the remaining two bundled real datasets
         for k, v in {**pedalme_accuracy(),
-                     **twitter_tennis_accuracy()}.items():
+                     **twitter_tennis_accuracy(),
+                     **extra_bundled_accuracy()}.items():
             rec[k] = round(v, 4)
     except Exception:
         pass
@@ -571,6 +615,13 @@ def main():
         m_bcsr, m_seg = bench_model_train_large_n()
         rec["bcsr_model_train_edges_per_sec"] = round(m_bcsr / 1e6, 1)
         rec["bcsr_model_train_vs_segment"] = round(m_bcsr / m_seg, 2)
+    except Exception:
+        pass
+    try:
+        ro_plain, ro_rcm = bench_reorder_recovery()
+        # kernel time recovered by the shortcut-filtered RCM pass when
+        # caller node ids scramble a structurally-banded graph
+        rec["bcsr_reorder_speedup_scrambled"] = round(ro_plain / ro_rcm, 1)
     except Exception:
         pass
     try:

@@ -13,6 +13,9 @@ BPTT with the per-snapshot MSE averaged over time, test MSE reported):
   DyGrEncoder on the dynamic-edge snapshots — protocol shape from
   reference ``examples/recurrent/{evolvegcno,evolvegcnh,dygrencoder}_
   example.py``.
+- **EnglandCovid + MontevideoBus** (:func:`extra_bundled_accuracy`): the
+  remaining two bundled real datasets, same protocol shape (no reference
+  example pairs a model with them).
 
 Epoch counts follow the reference scripts (200, except 50 for the TGCN
 family).  One documented protocol difference for the EvolveGCN pair: the
@@ -262,3 +265,74 @@ if __name__ == "__main__":
     rec.update(pedalme_accuracy())
     rec.update(twitter_tennis_accuracy())
     print(json.dumps({k: round(v, 4) for k, v in rec.items()}))
+
+
+def extra_bundled_accuracy(epochs_covid=100, epochs_bus=50) -> Dict[str, float]:
+    """EnglandCovid + MontevideoBus test MSE (the remaining two bundled
+    real datasets).  No reference example script pairs a model with these
+    datasets, so the protocol follows the reference example *shape*
+    (train_ratio 0.2, Adam(0.01), full-BPTT MSE averaged over snapshots):
+    DCRNN on EnglandCovid (per-snapshot dynamic edge lists ride the scan)
+    and GConvGRU on MontevideoBus.
+    """
+    import flax.linen as nn
+    import jax
+    import optax
+
+    from pytorch_geometric_temporal_tpu.data import (
+        EnglandCovidDatasetLoader,
+        MontevideoBusDatasetLoader,
+    )
+    from pytorch_geometric_temporal_tpu.models import DCRNN, GConvGRU
+    from pytorch_geometric_temporal_tpu.signal import (
+        StackedSignal,
+        temporal_signal_split,
+    )
+    from pytorch_geometric_temporal_tpu.train import SnapshotTrainer, mse
+
+    out: Dict[str, float] = {}
+
+    class CovidNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, graph):
+            h = DCRNN(out_channels=16, K=1, name="recurrent")(x, graph)
+            return nn.Dense(1, name="linear")(nn.relu(h))[..., 0]
+
+    dataset = EnglandCovidDatasetLoader().get_dataset(lags=8)
+    train_sig, test_sig = temporal_signal_split(dataset, 0.2)
+    train = StackedSignal.from_signal(train_sig)
+    test = StackedSignal.from_signal(test_sig)
+    model = CovidNet()
+    params = model.init(jax.random.PRNGKey(0), train.features[0],
+                        train.graph(0))
+
+    def covid_loss(p, carry, x, y, g):
+        return mse(model.apply(p, x, g), y), carry
+
+    tr = SnapshotTrainer(covid_loss, optax.adam(1e-2))
+    params, _ = tr.fit(params, train, epochs=epochs_covid,
+                       log_every=epochs_covid)
+    out["englandcovid_dcrnn_test_mse"] = float(tr.evaluate(params, test))
+
+    class BusNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, graph):
+            h = GConvGRU(out_channels=32, K=1, name="recurrent")(x, graph)
+            return nn.Dense(1, name="linear")(nn.relu(h))[..., 0]
+
+    dataset = MontevideoBusDatasetLoader().get_dataset(lags=4)
+    train_sig, test_sig = temporal_signal_split(dataset, 0.2)
+    train = StackedSignal.from_signal(train_sig)
+    test = StackedSignal.from_signal(test_sig)
+    model = BusNet()
+    params = model.init(jax.random.PRNGKey(0), train.features[0],
+                        train.graph())
+
+    def bus_loss(p, carry, x, y, g):
+        return mse(model.apply(p, x, g), y), carry
+
+    tr = SnapshotTrainer(bus_loss, optax.adam(1e-2))
+    params, _ = tr.fit(params, train, epochs=epochs_bus,
+                       log_every=epochs_bus)
+    out["montevideobus_gconvgru_test_mse"] = float(tr.evaluate(params, test))
+    return out

@@ -41,3 +41,17 @@ def test_twitter_tennis_protocols_smoke():
     for k, v in out.items():
         assert np.isfinite(v), k
         assert v < 5.0, (k, v)
+
+
+@pytest.mark.slow
+def test_extra_bundled_protocols_smoke():
+    from benchmarks.bundled_accuracy import extra_bundled_accuracy
+
+    out = extra_bundled_accuracy(epochs_covid=6, epochs_bus=6)
+    assert set(out) == {
+        "englandcovid_dcrnn_test_mse",
+        "montevideobus_gconvgru_test_mse",
+    }
+    for k, v in out.items():
+        assert np.isfinite(v), k
+        assert v < 5.0, (k, v)
