@@ -6,11 +6,12 @@ block 2's attention reads block 1's *output* (different input, different
 projections), and within a block the temporal attention reads ``x`` while
 the spatial attention reads ``x_tilde = x·E`` — again different inputs.
 What CAN be measured is the headroom such a fusion would chase: this
-script times the reference-config train step (B=16, N=207, T=12, 2 blocks,
-64 filters) against an ablated variant whose attention matrices are
-constant inputs (same shapes, no attention compute or gradients).  The
-delta bounds EVERYTHING attention-related — projections, bilinear forms,
-softmaxes, their backward — from above.
+script times the reference-config ASTGCN train step (B=16, N=207, T=12,
+2 blocks, 64 filters) against MSTGCN — the codebase's attention-free twin
+(same block structure: ChebConv + time conv + residual + LayerNorm, minus
+the temporal/spatial attention).  The delta bounds EVERYTHING
+attention-related — projections, bilinear forms, softmaxes, the
+attention-weighted Chebyshev, their backward — from above.
 
 Run on TPU: ``python benchmarks/astgcn_attention_cost.py``.
 """
@@ -64,12 +65,9 @@ def run(b=16, n=207, f=2, t=12, k=3, blocks=2, filters=64, iters=200):
     dt_full = device_time_per_iter(step, (params, opt.init(params)),
                                    iters=iters, operands=(x, y))
 
-    # ablation: freeze attention params (stop_gradient via zero lr on
-    # those subtrees is intrusive); instead time the forward-only apply
-    # and the forward with attention modules' inputs detached is not
-    # separable post-hoc — measure instead the model with 0 attention
-    # cost approximated by K-only compute: nb_block identical conv-only
-    # MSTGCN (the attention-free twin in this codebase).
+    # ablation = MSTGCN, the attention-free twin (identical block
+    # skeleton, no temporal/spatial attention modules) — its step time
+    # is the zero-attention-cost reference point
     from pytorch_geometric_temporal_tpu.models import MSTGCN
 
     mst = MSTGCN(

@@ -258,13 +258,6 @@ def twitter_tennis_accuracy(epochs=200) -> Dict[str, float]:
     return out
 
 
-if __name__ == "__main__":
-    import json
-
-    rec = {}
-    rec.update(pedalme_accuracy())
-    rec.update(twitter_tennis_accuracy())
-    print(json.dumps({k: round(v, 4) for k, v in rec.items()}))
 
 
 def extra_bundled_accuracy(epochs_covid=100, epochs_bus=50) -> Dict[str, float]:
@@ -336,3 +329,13 @@ def extra_bundled_accuracy(epochs_covid=100, epochs_bus=50) -> Dict[str, float]:
                        log_every=epochs_bus)
     out["montevideobus_gconvgru_test_mse"] = float(tr.evaluate(params, test))
     return out
+
+
+if __name__ == "__main__":
+    import json
+
+    rec = {}
+    rec.update(pedalme_accuracy())
+    rec.update(twitter_tennis_accuracy())
+    rec.update(extra_bundled_accuracy())
+    print(json.dumps({k: round(v, 4) for k, v in rec.items()}))

@@ -24,16 +24,23 @@ def _source_path() -> Path:
 
 
 def _cache_lib_path() -> Path:
+    # The filename carries a hash of the C++ source: a library built from
+    # different (older or newer) source never matches, so added symbols
+    # can't hit a stale .so (mtime comparisons fail for pip-installed
+    # sources with archive timestamps or shared cache dirs).
+    import hashlib
+
+    digest = hashlib.sha256(_source_path().read_bytes()).hexdigest()[:12]
     env = os.environ.get("PGT_TPU_DATA")
     base = Path(env) if env else Path.home() / ".cache" / "pgt_tpu"
     base.mkdir(parents=True, exist_ok=True)
-    return base / "libpgtt_graph_ops.so"
+    return base / f"libpgtt_graph_ops.{digest}.so"
 
 
 def _build() -> Optional[Path]:
     out = _cache_lib_path()
     src = _source_path()
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    if out.exists():
         return out
     try:
         subprocess.run(
@@ -60,34 +67,38 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(str(path))
-    except OSError:
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+        lib.csr_from_coo.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int32, i64p, i64p,
+        ]
+        lib.csr_from_coo.restype = None
+        lib.bcsr_structure.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            i64p, i64p, i32p, i32p,
+        ]
+        lib.bcsr_structure.restype = ctypes.c_int64
+        lib.bcsr_fill.argtypes = [
+            i32p, i32p, f32p, i64p, ctypes.c_int64, ctypes.c_int32, f32p,
+        ]
+        lib.bcsr_fill.restype = None
+        lib.partition_edges.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p, i64p,
+        ]
+        lib.partition_edges.restype = None
+        lib.rcm_order.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p,
+        ]
+        lib.rcm_order.restype = None
+        lib.edge_triangle_support.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p,
+        ]
+        lib.edge_triangle_support.restype = None
+    except (OSError, AttributeError):
+        # unloadable or missing symbols (e.g. a hand-placed foreign .so):
+        # fall back to numpy rather than crash on first use
         return None
-    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
-    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
-    f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
-    lib.csr_from_coo.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i64p, i64p]
-    lib.csr_from_coo.restype = None
-    lib.bcsr_structure.argtypes = [
-        i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-        i64p, i64p, i32p, i32p,
-    ]
-    lib.bcsr_structure.restype = ctypes.c_int64
-    lib.bcsr_fill.argtypes = [
-        i32p, i32p, f32p, i64p, ctypes.c_int64, ctypes.c_int32, f32p,
-    ]
-    lib.bcsr_fill.restype = None
-    lib.partition_edges.argtypes = [
-        i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p, i64p,
-    ]
-    lib.partition_edges.restype = None
-    lib.rcm_order.argtypes = [
-        i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p,
-    ]
-    lib.rcm_order.restype = None
-    lib.edge_triangle_support.argtypes = [
-        i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p,
-    ]
-    lib.edge_triangle_support.restype = None
     _LIB = lib
     return _LIB
 
@@ -276,6 +287,8 @@ def bandwidth_reduction_order(senders, receivers, num_nodes: int,
     """
     senders = np.ascontiguousarray(senders, np.int32)
     receivers = np.ascontiguousarray(receivers, np.int32)
+    if len(senders) == 0:
+        return rcm_order(senders, receivers, num_nodes)  # identity
     support = edge_triangle_support(senders, receivers, num_nodes)
     keep = support >= min_support
     if keep.mean() < 0.5:  # unclustered graph: the signal is meaningless

@@ -195,7 +195,8 @@ class BCSRMatrix:
             ip[p] = np.arange(n, dtype=np.int32)
             s_new, r_new = ip[s], ip[r]
             keep = reorder == "rcm" or _reorder_pays_off(
-                r, s, r_new, s_new, n, block, dtype, expected_f
+                r, s, r_new, s_new, n, block, dtype, expected_f,
+                min_block_edges,
             )
             if keep:
                 s, r = s_new, r_new
@@ -243,7 +244,8 @@ def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
                          tile_ns: float = C_TILE_NS,
                          edge_ns: float = C_EDGE_NS,
                          max_tile_bytes: int = 1 << 30,
-                         _return_cost: bool = False):
+                         _return_cost: bool = False,
+                         _fixed_theta=None):
     """Pick the tile/COO spill threshold from the measured occupancy histogram.
 
     Cost model (device TIME, measured constants above): a kept tile costs
@@ -277,8 +279,12 @@ def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
     dma_scale = (block * block * s_tile + block * f_eff * s_tile) / 49152.0
     t_tile = (tile_ns - 39.0) + 39.0 * dma_scale
     order = np.sort(cnt)
-    # candidate thresholds: each distinct count (+inf == spill everything)
-    cands = np.unique(np.concatenate([order, [order[-1] + 1]]))
+    # candidate thresholds: each distinct count (+inf == spill everything);
+    # a _fixed_theta evaluates ONLY that threshold (cost-at-theta query)
+    if _fixed_theta is not None:
+        cands = np.asarray([_fixed_theta])
+    else:
+        cands = np.unique(np.concatenate([order, [order[-1] + 1]]))
     # suffix sums: edges kept when threshold == c
     csum = np.cumsum(order)
     total = csum[-1]
@@ -297,15 +303,23 @@ def tune_min_block_edges(rows, cols, n, block=BLOCK, dtype=None,
     return best_theta
 
 
-def _reorder_pays_off(r0, s0, r1, s1, n, block, dtype, expected_f) -> bool:
+def _reorder_pays_off(r0, s0, r1, s1, n, block, dtype, expected_f,
+                      min_block_edges="auto") -> bool:
     """Cost-model decision for ``reorder='auto'``: does the relabeled
     ordering beat the caller's, once the permutation's own per-call price
     (an input gather and an output un-gather, both rate-bound at the same
-    ~2 ns/row as the remainder gather) is charged against it?"""
+    ~2 ns/row as the remainder gather) is charged against it?
+
+    The comparison runs at the spill threshold the operator will actually
+    be BUILT with: the caller's fixed ``min_block_edges``, or (for
+    ``'auto'``) each ordering's own tuned optimum — a decision at a
+    different threshold could keep a permutation that loses at the built
+    one."""
+    fixed = None if min_block_edges == "auto" else int(min_block_edges)
     _, cost0 = tune_min_block_edges(r0, s0, n, block, dtype, expected_f,
-                                    _return_cost=True)
+                                    _return_cost=True, _fixed_theta=fixed)
     _, cost1 = tune_min_block_edges(r1, s1, n, block, dtype, expected_f,
-                                    _return_cost=True)
+                                    _return_cost=True, _fixed_theta=fixed)
     gather_ns = 2.0 * _round_up(n, block) * 2
     return cost1 + gather_ns < cost0
 
@@ -745,6 +759,9 @@ _bcsr_spmm_padded.defvjp(_fwd, _bwd)
 
 
 _warned_closed_over = False
+# warning threshold for closed-over operator size (module-level so tests
+# can exercise the real check on small operators)
+_CLOSED_OVER_WARN_BYTES = 16 * 1024 * 1024
 
 
 def _warn_if_closed_over(mat: BCSRMatrix, x) -> None:
@@ -756,9 +773,14 @@ def _warn_if_closed_over(mat: BCSRMatrix, x) -> None:
     upload + constant folding on remotely-compiled platforms (measured,
     ``benchmarks/compile_bisect.py``); large payloads can reject outright
     (HTTP 413).  Pass the operator as a jit ARGUMENT instead.
+
+    Operators the library builds itself inside a trace (``spmm``
+    auto-dispatch under ``ensure_compile_time_eval``) are exempt — that
+    path intentionally closes over a concrete Graph, and the advice here
+    would contradict it.
     """
     global _warned_closed_over
-    if _warned_closed_over:
+    if _warned_closed_over or getattr(mat, "_auto_built", False):
         return
     if isinstance(x, jax.core.Tracer) and not isinstance(
             mat.fwd.blocks, jax.core.Tracer):
@@ -766,7 +788,7 @@ def _warn_if_closed_over(mat: BCSRMatrix, x) -> None:
             getattr(a, "nbytes", 0)
             for a in jax.tree_util.tree_leaves(mat)
         )
-        if nbytes > 16 * 1024 * 1024:
+        if nbytes > _CLOSED_OVER_WARN_BYTES:
             _warned_closed_over = True
             warnings.warn(
                 f"bcsr_spmm: a {nbytes / 1e6:.0f} MB BCSR operator is "

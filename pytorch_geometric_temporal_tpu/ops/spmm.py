@@ -121,6 +121,14 @@ def _auto_bcsr(graph: Graph, x_dtype):
     The cache lives on the Graph instance (outside the pytree), so repeated
     spmm calls inside one trace — and repeated traces over the same Graph
     object — reuse one build.
+
+    Compile-payload tradeoff: the auto-built operator is a trace-time
+    constant, so its tiles land in the HLO as literals.  Fine at the
+    tens-of-MB scale this path serves; for ~100 MB+ operators (or stacked
+    dynamic sequences) prebuild with ``BCSRMatrix.from_graph`` /
+    ``DiffusionOperators.from_graph`` and pass the operator as a jit
+    ARGUMENT — see ``benchmarks/compile_bisect.py`` for the measured
+    compile-time cliff.
     """
     from ..config import get_config
     from .bcsr import BCSRMatrix
@@ -140,6 +148,10 @@ def _auto_bcsr(graph: Graph, x_dtype):
         with jax.ensure_compile_time_eval():
             mat = BCSRMatrix.from_graph(graph, dtype=tile_dtype,
                                         reorder=reorder)
+        # auto-built operators legitimately live inside the trace as
+        # constants (the Graph itself was closed over); exempt them from
+        # bcsr_spmm's closed-over-operator warning
+        object.__setattr__(mat, "_auto_built", True)
         cache[key] = mat
     return mat
 

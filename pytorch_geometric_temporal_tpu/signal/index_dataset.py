@@ -146,13 +146,21 @@ class StreamingWindower:
         mm = self._map()
         h2 = 2 * self.horizon
         idx = np.asarray(start_indices)
-        if idx.size and int(idx.max()) + h2 > self.shape[0]:
-            bad = int(idx[int(np.argmax(idx))])
-            raise ValueError(
-                f"window start {bad} + 2*horizon ({h2}) overruns the "
-                f"series (length {self.shape[0]}); valid starts are "
-                f"[0, {self.shape[0] - h2}]"
-            )
+        if idx.size:
+            if int(idx.max()) + h2 > self.shape[0]:
+                bad = int(idx[int(np.argmax(idx))])
+                raise ValueError(
+                    f"window start {bad} + 2*horizon ({h2}) overruns the "
+                    f"series (length {self.shape[0]}); valid starts are "
+                    f"[0, {self.shape[0] - h2}]"
+                )
+            if int(idx.min()) < 0:
+                bad = int(idx[int(np.argmin(idx))])
+                raise ValueError(
+                    f"negative window start {bad}: numpy would wrap it to "
+                    f"the series tail; valid starts are "
+                    f"[0, {self.shape[0] - h2}]"
+                )
         shape = (len(idx), h2) + self.shape[1:]
         if self._buf is None or self._buf.shape != shape:
             self._buf = np.empty(shape, self.dtype)

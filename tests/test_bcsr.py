@@ -332,32 +332,33 @@ def test_stack_bcsr_with_reorder_matches(rng):
 
 def test_closed_over_operator_warns(rng, monkeypatch):
     """A large operator closed over inside jit warns once (the HLO-constant
-    compile-blow-up footgun, benchmarks/compile_bisect.py)."""
+    compile-blow-up footgun, benchmarks/compile_bisect.py).  Exercises the
+    REAL check — only the size threshold (a module constant kept patchable
+    for exactly this purpose) is lowered so a test-sized operator
+    qualifies."""
     import warnings as _w
 
     from pytorch_geometric_temporal_tpu.ops import bcsr
     monkeypatch.setattr(bcsr, "_warned_closed_over", False)
-    monkeypatch.setattr(bcsr, "_BIG_OPERATOR_BYTES", 0, raising=False)
+    monkeypatch.setattr(bcsr, "_CLOSED_OVER_WARN_BYTES", 0)
 
     g = make_graph(rng, 300, 2000)
     mat = BCSRMatrix.from_graph(g)
     x = jnp.asarray(rng.normal(size=(300, 8)).astype(np.float32))
 
-    # monkeypatch the threshold down so a small test operator triggers it
-    orig = bcsr._warn_if_closed_over
-
-    def patched(m, xx):
-        import jax as _jax
-        if isinstance(xx, _jax.core.Tracer) and not isinstance(
-                m.fwd.blocks, _jax.core.Tracer):
-            if not bcsr._warned_closed_over:
-                bcsr._warned_closed_over = True
-                _w.warn("bcsr_spmm: closed over", stacklevel=2)
-    monkeypatch.setattr(bcsr, "_warn_if_closed_over", patched)
-    with pytest.warns(UserWarning, match="closed over"):
+    with pytest.warns(UserWarning, match="closed over inside jit"):
         jax.jit(lambda a: bcsr_spmm(mat, a, use_pallas=False))(x)
-    # operand style must NOT warn
+    # the warning is one-time
+    assert bcsr._warned_closed_over
+    # operand style must NOT warn (the operator rides as a tracer)
     monkeypatch.setattr(bcsr, "_warned_closed_over", False)
     with _w.catch_warnings():
         _w.simplefilter("error")
         jax.jit(lambda a, m: bcsr_spmm(m, a, use_pallas=False))(x, mat)
+    # auto-built operators (spmm auto-dispatch) are exempt by design
+    monkeypatch.setattr(bcsr, "_warned_closed_over", False)
+    mat2 = BCSRMatrix.from_graph(g)
+    object.__setattr__(mat2, "_auto_built", True)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        jax.jit(lambda a: bcsr_spmm(mat2, a, use_pallas=False))(x)

@@ -155,3 +155,9 @@ def test_index_loader_len_matches_iteration_under_sharding():
                 assert len(loader) == sum(1 for _ in loader), (
                     world_size, rank, drop_last,
                 )
+
+
+def test_streaming_rejects_negative_start(series_path):
+    windower = StreamingWindower(series_path, H)
+    with pytest.raises(ValueError, match="negative window start"):
+        windower.host_batch(np.array([3, -2]))
