@@ -230,6 +230,50 @@ class Graph:
         return self.to_adj_t(dtype).T
 
 
+def reorder_graph(graph: Graph):
+    """Relabel nodes by the shortcut-filtered RCM bandwidth-reduction order.
+
+    Returns ``(graph', perm, iperm)`` with ``perm[new_id] = old_id`` and
+    ``iperm[old_id] = new_id`` (numpy int32).  This is the MODEL-LEVEL
+    form of the reordering ``BCSRMatrix.from_graph(reorder=...)`` applies
+    internally: permute the graph (and your feature/target arrays, once,
+    at the boundary — ``x_new = x[perm]``, ``out = out_new[iperm]``...
+    i.e. ``out[old] = out_new[iperm[old]]``) and run the ENTIRE model in
+    permuted space, so recurrent models doing many aggregations per step
+    pay the permutation once per forward instead of two gathers per spmm.
+
+    Host-side (concrete graphs only); bipartite graphs are rejected (the
+    relabeling assumes one square node set).  No-op permutation comes back
+    when the graph has no edges.
+    """
+    from ..native import bandwidth_reduction_order
+
+    if graph.num_src is not None:
+        raise ValueError("reorder_graph needs a square (non-bipartite) graph")
+    if not _concrete(graph):
+        raise ValueError(
+            "reorder_graph is host-side: pass a concrete Graph (outside "
+            "jit, or under jax.ensure_compile_time_eval)"
+        )
+    e = graph.num_edges
+    s = np.asarray(graph.senders)[:e]
+    r = np.asarray(graph.receivers)[:e]
+    n = graph.num_nodes
+    perm = bandwidth_reduction_order(s, r, n)
+    iperm = np.empty_like(perm)
+    iperm[perm] = np.arange(n, dtype=np.int32)
+    new_s = np.zeros(graph.senders.shape[0], np.int32)
+    new_r = np.zeros(graph.receivers.shape[0], np.int32)
+    new_s[:e] = iperm[s]
+    new_r[:e] = iperm[r]
+    g2 = dataclasses.replace(
+        graph,
+        senders=jnp.asarray(new_s),
+        receivers=jnp.asarray(new_r),
+    )
+    return g2, perm, iperm
+
+
 def pad_graphs(graphs, pad_to: Optional[int] = None):
     """Pad a list of Graphs to a common edge count (for dynamic-edge scans).
 

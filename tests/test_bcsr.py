@@ -362,3 +362,37 @@ def test_closed_over_operator_warns(rng, monkeypatch):
     with _w.catch_warnings():
         _w.simplefilter("error")
         jax.jit(lambda a: bcsr_spmm(mat2, a, use_pallas=False))(x)
+
+
+def test_reorder_graph_model_level(rng):
+    """The model-level reordering pattern: run everything in permuted
+    space, permute features in once and outputs back once — equal to the
+    original-space run.  This is the per-forward-cost-once alternative to
+    BCSRMatrix(reorder=...)'s per-spmm gathers."""
+    from pytorch_geometric_temporal_tpu.ops import reorder_graph
+
+    n = 600
+    s = rng.integers(0, n, 4000)
+    r = np.clip(s + rng.integers(-10, 11, 4000), 0, n - 1)
+    scram = rng.permutation(n)
+    ei = np.unique(np.stack([scram[s], scram[r]]), axis=1)
+    w = rng.uniform(0.5, 2.0, ei.shape[1]).astype(np.float32)
+    g = Graph.from_edge_index(ei, w, num_nodes=n)
+
+    g2, perm, iperm = reorder_graph(g)
+    np.testing.assert_array_equal(perm[iperm], np.arange(n))
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    # two hops in permuted space (a mini recurrent model's aggregations)
+    want = spmm_segment(g, jnp.tanh(spmm_segment(g, x)))
+    out_p = spmm_segment(g2, jnp.tanh(spmm_segment(g2, x[perm])))
+    np.testing.assert_allclose(np.asarray(out_p[iperm]), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_reorder_graph_validation(rng):
+    from pytorch_geometric_temporal_tpu.ops import reorder_graph
+
+    ei = np.stack([rng.integers(0, 50, 100), rng.integers(0, 30, 100)])
+    bip = Graph.from_edge_index(ei, num_nodes=30, num_src=50)
+    with pytest.raises(ValueError, match="square"):
+        reorder_graph(bip)
