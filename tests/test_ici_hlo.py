@@ -174,3 +174,54 @@ def test_partitioned_dcrnn_step_volume_matches_table(graph, mesh):
     predicted = 2 * per_basis * 2  # 2 basis builds x (forward + backward)
     assert got["all-to-all"] == predicted, (got, predicted)
     assert got["all-gather"] == 0 and got["reduce-scatter"] == 0
+
+
+def test_dp_gradient_allreduce_bytes_match_param_size():
+    """Data-parallel counterpart of the accounting above: the GSPMD step
+    from make_dp_train_step must move exactly one gradient all-reduce of
+    param_bytes (+4 bytes for the mean-loss scalar) over the dp axis —
+    nothing more (no hidden resharding collectives)."""
+    import flax.linen as nn
+
+    from pytorch_geometric_temporal_tpu.models import GConvGRU
+    from pytorch_geometric_temporal_tpu.parallel import (
+        make_dp_train_step,
+        replicate,
+        shard_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    n, f, c, b = 30, 4, 8, 16
+    ei = np.unique(rng.integers(0, n, size=(2, 90)), axis=1)
+    g = Graph.from_edge_index(ei, num_nodes=n)
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = GConvGRU(out_channels=c, K=2, name="r")(x, g)
+            return nn.Dense(1, name="head")(h)[..., 0]
+
+    net = Net()
+    x = jnp.asarray(rng.normal(size=(b, n, f)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(p, xb, yb):
+        return jnp.mean((net.apply(p, xb) - yb) ** 2)
+
+    dp_mesh = make_mesh({"dp": 8})
+    opt = optax.adam(1e-3)
+    step = make_dp_train_step(loss_fn, opt, dp_mesh, donate=False)
+    txt = step.lower(
+        replicate(params, dp_mesh), replicate(opt.init(params), dp_mesh),
+        shard_batch(x, dp_mesh), shard_batch(y, dp_mesh),
+    ).compile().as_text()
+
+    ar_bytes = 0
+    for m in re.finditer(r"= (.+?) all-reduce\(", txt):
+        ar_bytes += _shape_bytes(m.group(1))
+    assert re.search(r"all-gather|reduce-scatter|all-to-all", txt) is None
+    param_bytes = sum(
+        a.size * a.dtype.itemsize for a in jax.tree_util.tree_leaves(params)
+    )
+    assert ar_bytes == param_bytes + 4, (ar_bytes, param_bytes)
