@@ -457,14 +457,15 @@ def bench_reorder_recovery(n=20_000, deg=40, f=64, band=96, iters=200):
     g = Graph.from_edge_index(np.stack([scram[s], scram[r]]), w, num_nodes=n)
     x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
     times = []
-    for reorder in (None, "auto"):
+    # the reordered kernel runs ~100 µs/iter: at the slope method's lo/hi
+    # split the timed delta must dominate the remote tunnel's run-to-run
+    # noise, so the fast path gets 4x the iterations of the 2 ms plain path
+    for reorder, n_iters in ((None, max(iters // 4, 20)), ("auto", 2 * iters)):
         mat = BCSRMatrix.from_graph(g, dtype=jnp.bfloat16,
                                     min_block_edges="auto", expected_f=f,
                                     reorder=reorder)
         times.append(device_time_per_iter(
-            lambda a, m: bcsr_spmm(m, a), x,
-            iters=iters if reorder else max(iters // 4, 20),
-            operands=(mat,),
+            lambda a, m: bcsr_spmm(m, a), x, iters=n_iters, operands=(mat,),
         ))
     return times[0], times[1]
 
@@ -618,10 +619,16 @@ def main():
     except Exception:
         pass
     try:
-        ro_plain, ro_rcm = bench_reorder_recovery()
         # kernel time recovered by the shortcut-filtered RCM pass when
-        # caller node ids scramble a structurally-banded graph
-        rec["bcsr_reorder_speedup_scrambled"] = round(ro_plain / ro_rcm, 1)
+        # caller node ids scramble a structurally-banded graph; a
+        # nonsensical ratio means a timing glitch (the slope method's
+        # delta drowned in tunnel noise) — re-measure once, else omit
+        for _ in range(2):
+            ro_plain, ro_rcm = bench_reorder_recovery()
+            speedup = ro_plain / ro_rcm
+            if 0.5 < speedup < 500.0:
+                rec["bcsr_reorder_speedup_scrambled"] = round(speedup, 1)
+                break
     except Exception:
         pass
     try:
