@@ -760,24 +760,32 @@ _bcsr_spmm_padded.defvjp(_fwd, _bwd)
 
 _warned_closed_over = False
 # warning threshold for closed-over operator size (module-level so tests
-# can exercise the real check on small operators)
-_CLOSED_OVER_WARN_BYTES = 16 * 1024 * 1024
+# can exercise the real check on small operators).  Set high enough that
+# only genuine compile-killers trip it — measured cliff starts around
+# 50-100 MB of HLO constants (benchmarks/compile_bisect.py).
+_CLOSED_OVER_WARN_BYTES = 64 * 1024 * 1024
 
 
 def _warn_if_closed_over(mat: BCSRMatrix, x) -> None:
     """One-time warning for the operator-as-HLO-constant footgun.
 
-    A concrete (non-traced) operator inside a trace gets baked into the
-    HLO as constants — at N=20k/T=4 that is ~123 MB of literals, and the
-    compile blows up from <1 s (operand style) to minutes of payload
+    A concrete (non-traced) operator inside a jit trace gets baked into
+    the HLO as constants — at N=20k/T=4 that is ~123 MB of literals, and
+    the compile blows up from <1 s (operand style) to minutes of payload
     upload + constant folding on remotely-compiled platforms (measured,
     ``benchmarks/compile_bisect.py``); large payloads can reject outright
     (HTTP 413).  Pass the operator as a jit ARGUMENT instead.
 
-    Operators the library builds itself inside a trace (``spmm``
-    auto-dispatch under ``ensure_compile_time_eval``) are exempt — that
-    path intentionally closes over a concrete Graph, and the advice here
-    would contradict it.
+    Caveats baked into the check:
+
+    - operators the library builds itself inside a trace (``spmm``
+      auto-dispatch under ``ensure_compile_time_eval``) are exempt — that
+      path intentionally closes over a concrete Graph;
+    - lifted transforms (``nn.scan`` inside ``Module.init``) trace their
+      bodies even in an eager outer context, and the enclosing context is
+      not detectable from here — so an eager ``init`` of a Seq model over
+      a prebuilt operator triggers one (harmless) instance; the message
+      says so rather than claiming certainty.
     """
     global _warned_closed_over
     if _warned_closed_over or getattr(mat, "_auto_built", False):
@@ -792,10 +800,14 @@ def _warn_if_closed_over(mat: BCSRMatrix, x) -> None:
             _warned_closed_over = True
             warnings.warn(
                 f"bcsr_spmm: a {nbytes / 1e6:.0f} MB BCSR operator is "
-                "closed over inside jit and will be baked into the HLO "
-                "as constants — compile time and payload scale with it "
-                "(minutes on remotely-compiled platforms). Pass the "
-                "operator as a jit argument instead.",
+                "closed over inside a trace. If this trace is being "
+                "jit-compiled, the operator is baked into the HLO as "
+                "constants and compile time/payload scale with it "
+                "(minutes on remotely-compiled platforms) — pass the "
+                "operator as a jit argument instead. If this appears "
+                "during an eager Module.init of a scan model and you "
+                "pass the operator as an argument at train time, it is "
+                "safe to ignore.",
                 stacklevel=3,
             )
 

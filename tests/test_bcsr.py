@@ -346,7 +346,7 @@ def test_closed_over_operator_warns(rng, monkeypatch):
     mat = BCSRMatrix.from_graph(g)
     x = jnp.asarray(rng.normal(size=(300, 8)).astype(np.float32))
 
-    with pytest.warns(UserWarning, match="closed over inside jit"):
+    with pytest.warns(UserWarning, match="closed over inside a trace"):
         jax.jit(lambda a: bcsr_spmm(mat, a, use_pallas=False))(x)
     # the warning is one-time
     assert bcsr._warned_closed_over
