@@ -396,3 +396,44 @@ def test_reorder_graph_validation(rng):
     bip = Graph.from_edge_index(ei, num_nodes=30, num_src=50)
     with pytest.raises(ValueError, match="square"):
         reorder_graph(bip)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bcsr_config_fuzz_matches_segment(seed):
+    """Random (graph shape x pack x rem_k x dtype x threshold x reorder)
+    configurations all reproduce the segment oracle — a broad regression
+    net over the construction parameter space."""
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(150, 1200))
+    e = int(rng.integers(2, 12)) * n
+    style = rng.choice(["uniform", "banded", "scrambled-banded"])
+    s = rng.integers(0, n, e)
+    if style == "uniform":
+        r = rng.integers(0, n, e)
+    else:
+        r = np.clip(s + rng.integers(-15, 16, e), 0, n - 1)
+        if style == "scrambled-banded":
+            p = rng.permutation(n)
+            s, r = p[s], p[r]
+    ei = np.unique(np.stack([s, r]), axis=1)
+    w = rng.uniform(0.1, 2.0, ei.shape[1]).astype(np.float32)
+    g = Graph.from_edge_index(ei, w, num_nodes=n)
+
+    pack = int(rng.choice([1, 2, 4]))
+    rem_k = int(rng.choice([64, 128]))
+    mbe = rng.choice(["auto", 0, 8, 64])
+    mbe = mbe if mbe == "auto" else int(mbe)
+    dtype = rng.choice([None, "bf16"])
+    reorder = rng.choice([None, "rcm", "auto"])
+    mat = BCSRMatrix.from_graph(
+        g, pack=pack, rem_k=rem_k, min_block_edges=mbe,
+        dtype=jnp.bfloat16 if dtype == "bf16" else None,
+        reorder=reorder,
+    )
+    f = int(rng.integers(3, 40))
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    want = np.asarray(spmm_segment(g, x))
+    got = np.asarray(bcsr_spmm(mat, x, use_pallas=False))
+    tol = 3e-2 * np.abs(want).max() if dtype == "bf16" else 1e-4
+    np.testing.assert_allclose(got, want, atol=max(tol, 1e-4)), (
+        style, pack, rem_k, mbe, dtype, reorder)
